@@ -1,0 +1,251 @@
+"""Typed configuration for the TPU-native PinSage engine.
+
+Single source of truth replacing the reference's two overlapping config systems
+(module-level constants in ``config.py:1-65`` and per-script argparse flags,
+see reference ``run.py:500-510``, ``main.py:12-60``, ``inference.py:173-230``).
+
+Every knob from the reference ``config.py`` is present — including the flags the
+reference defines but never reads (``USE_DATA_SUBSET``/``DATA_SUBSET_FRACTION``
+``config.py:64-65``, ``DROPOUT``/``AGGREGATOR_TYPE``/``USE_BATCH_NORM``
+``config.py:23-25``, ``EVAL_EVERY`` ``config.py:45``, ``HARD_NEG_FACTOR``
+``config.py:38``, ``NUM_WORKERS`` ``config.py:39``). Here they are honored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass
+class DataConfig:
+    """Dataset ingest settings (reference ``config.py:7-9,63-65``)."""
+
+    data_dir: str = "./data/ml-25m"
+    min_interactions: int = 5          # min ratings per user (dataset.py:56-58)
+    use_data_subset: bool = True       # honored here (ref run.py:48 hardcodes 0.30)
+    data_subset_fraction: float = 0.30
+    # "synthetic" generates a MovieLens-shaped workload on the fly (no files
+    # needed); "movielens" reads movies/ratings/tags/links CSVs.
+    source: str = "movielens"
+    # Synthetic workload scale (used when source == "synthetic").
+    synthetic_num_movies: int = 4000
+    synthetic_num_users: int = 12000
+    synthetic_num_ratings: int = 400_000
+
+
+@dataclass
+class GraphConfig:
+    """Graph construction (reference ``config.py:11-13``)."""
+
+    use_bipartite_graph: bool = True
+    similarity_threshold: int = 5      # co-occurrence cutoff (graph_builder.py:59)
+
+
+@dataclass
+class FeatureConfig:
+    """Feature pipeline (reference ``config.py:15-17``, ``data/feature_extractor.py``)."""
+
+    feature_dim: int = 128
+    use_visual_features: bool = False
+    genre_weight: float = 2.0          # feature_extractor.py:118
+    year_norm: float = 2020.0          # feature_extractor.py:136
+    title_tfidf_max_features: int = 100  # feature_extractor.py:153
+    title_tfidf_min_df: int = 5
+    tag_tfidf_max_features: int = 200    # feature_extractor.py:188
+    tag_tfidf_min_df: int = 3
+
+
+@dataclass
+class ModelConfig:
+    """Model shape (reference ``config.py:19-25``, ``model/pinsage.py:155-184``)."""
+
+    hidden_dim: int = 256
+    embed_dim: int = 128
+    num_layers: int = 2
+    aggregator_type: str = "importance"  # mean|weighted|attention|max|importance
+    dropout: float = 0.2
+    use_batch_norm: bool = False
+    # Which nodes are eligible as pooled neighbors. The reference passes only
+    # movie features to pooling, so user-node neighbors are silently dropped as
+    # out-of-range indices (model/pinsage.py:124). "movies_only" reproduces
+    # that; "all" pools over every node (users get zero features, matching
+    # dataset.py:260).
+    pool_nodes: str = "movies_only"
+
+
+@dataclass
+class WalkConfig:
+    """Random-walk sampling (reference ``config.py:27-30``)."""
+
+    walk_length: int = 2
+    num_walks: int = 100
+    num_neighbors: int = 50
+
+
+@dataclass
+class TrainConfig:
+    """Training loop (reference ``config.py:32-41``)."""
+
+    batch_size: int = 512
+    epochs: int = 10
+    learning_rate: float = 1e-3
+    margin: float = 0.1
+    num_negative_samples: int = 500
+    hard_neg_factor: float = 2.0
+    num_workers: int = 4               # host-side prefetch threads
+    val_ratio: float = 0.1
+    test_ratio: float = 0.2
+    # Cap on positive pairs per epoch; the reference subsamples <=1000
+    # (train.py:40-41). None = use all pairs.
+    max_pairs_per_epoch: int | None = 1000
+    # Curriculum hard negatives (negative_sampler.py:101-124): from epoch >= 1,
+    # num_hard = min(epoch, max_hard_negatives).
+    max_hard_negatives: int = 6
+    hard_neg_min_rank: int = 2000      # negative_sampler.py:44
+    hard_neg_max_rank: int = 5000
+    # "pinsage": full importance-pooling graph forward (the documented design,
+    # README:130-168). "mlp": the reference's shipped simplified loop
+    # (train.py:72-78, no graph, cosine objective).
+    train_path: str = "pinsage"
+    # Loss used on the pinsage path: "max_margin" | "batch_hard" | "curriculum".
+    loss: str = "curriculum"
+    # Neighborhood tables are resampled every N epochs (0 = every step). The
+    # reference samples fresh on every get_embeddings call
+    # (model/pinsage.py:271-275); per-epoch refresh is the TPU-friendly
+    # equivalent that keeps the train step a pure jitted program.
+    refresh_neighborhoods_every: int = 1
+    # LR plateau schedule (reference run.py:117-122 ReduceLROnPlateau).
+    lr_plateau_factor: float = 0.5
+    lr_plateau_patience: int = 2
+    seed: int = 42                      # reference run.py:514 set_seed(42)
+    # bfloat16 matmuls on the MXU; params and loss stay f32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class EvalConfig:
+    """Evaluation (reference ``config.py:43-46``)."""
+
+    k_values: tuple[int, ...] = (10, 50, 100, 500)
+    eval_every: int = 1
+    patience: int = 3
+    mrr_scale: float = 100.0           # evaluation.py:69 — 1/(rank/100)
+    # Co-rated item-item eval pairs: min rating threshold (run.py:198).
+    corated_min_rating: float = 4.0
+
+
+@dataclass
+class SearchConfig:
+    """ANN retrieval (reference ``config.py:48-53``)."""
+
+    search_method: str = "exact"       # exact | lsh | ivf
+    lsh_bits: int = 256
+    lsh_tables: int = 16
+    ivf_partitions: int = 100
+    ivf_factor: int = 10
+    ivf_nprobe: int = 20               # nearest_neighbors.py:134 min(partitions, 20)
+
+
+@dataclass
+class MeshConfig:
+    """TPU device-mesh layout. New — the reference is single-device
+    (run.py:87); see SURVEY.md §2b."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # None = use all local devices on the data axis.
+    mesh_shape: tuple[int, int] | None = None
+    # Shard node feature / embedding tables by row across the model axis.
+    shard_tables: bool = False
+
+
+@dataclass
+class PathConfig:
+    """Output locations (reference ``config.py:55-61``)."""
+
+    checkpoint_dir: str = "./checkpoints"
+    output_dir: str = "./output"
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    walk: WalkConfig = field(default_factory=WalkConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    paths: PathConfig = field(default_factory=PathConfig)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            sub = d.get(f.name, {})
+            sub_cls = f.default_factory  # type: ignore[union-attr]
+            if isinstance(sub, dict):
+                known = {sf.name for sf in dataclasses.fields(sub_cls)}
+                filtered = {k: v for k, v in sub.items() if k in known}
+                for sf in dataclasses.fields(sub_cls):
+                    v = filtered.get(sf.name)
+                    if isinstance(v, list):
+                        filtered[sf.name] = tuple(v)
+                kwargs[f.name] = sub_cls(**filtered)
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, dotted: dict[str, Any]) -> "Config":
+        """Apply {"train.learning_rate": 3e-4}-style overrides, returning a new
+        Config. This replaces the reference's deepcopy-and-mutate-a-module
+        pattern (run.py:358-361)."""
+        d = self.to_dict()
+        for key, value in dotted.items():
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[parts[-1]] = value
+        return Config.from_dict(d)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def small_test_config() -> Config:
+    """A tiny, fast configuration used by unit tests and smoke runs."""
+    cfg = Config()
+    cfg.data.source = "synthetic"
+    cfg.data.synthetic_num_movies = 200
+    cfg.data.synthetic_num_users = 400
+    cfg.data.synthetic_num_ratings = 8000
+    cfg.features.feature_dim = 32
+    cfg.model.hidden_dim = 64
+    cfg.model.embed_dim = 32
+    cfg.walk.num_walks = 20
+    cfg.walk.num_neighbors = 8
+    cfg.train.batch_size = 64
+    cfg.train.epochs = 2
+    cfg.train.num_negative_samples = 32
+    cfg.train.max_pairs_per_epoch = 256
+    cfg.search.lsh_bits = 64
+    cfg.search.lsh_tables = 4
+    cfg.search.ivf_partitions = 8
+    return cfg

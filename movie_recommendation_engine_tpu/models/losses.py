@@ -1,0 +1,92 @@
+"""Training losses.
+
+Pure-function ports of the reference's three losses (``model/loss.py``):
+- max-margin ranking with max-over-negatives for [B, N, D] negatives
+  (model/loss.py:6-64)
+- batch-hard triplet with in-batch hardest negative (model/loss.py:66-113)
+- curriculum combiner: base + hard_weight * hard_loss where
+  hard_weight = min(epoch, max_epochs)/max_epochs * hard_negative_factor
+  (model/loss.py:115-176)
+
+Plus the reference's *shipped* simplified objective — negative mean cosine
+similarity (train.py:75-78) — kept for strict parity runs of the reference
+train loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def max_margin_loss(
+    query: jax.Array,      # [B, D]
+    positive: jax.Array,   # [B, D]
+    negative: jax.Array,   # [B, D] or [B, N, D] or [N, D] (shared negatives)
+    margin: float = 0.1,
+) -> jax.Array:
+    pos_sim = jnp.sum(query * positive, axis=1)
+    if negative.ndim == 3:
+        neg_sim = jnp.einsum("bd,bnd->bn", query, negative)
+        max_neg = jnp.max(neg_sim, axis=1)
+    elif negative.ndim == 2 and negative.shape[0] != query.shape[0]:
+        # Shared negative pool [N, D] (the reference shares one random
+        # negative set across the batch, negative_sampler.py:114-115).
+        neg_sim = query @ negative.T
+        max_neg = jnp.max(neg_sim, axis=1)
+    else:
+        max_neg = jnp.sum(query * negative, axis=1)
+    return jnp.mean(jax.nn.relu(margin + max_neg - pos_sim))
+
+
+def shared_pool_max_margin_loss(
+    query: jax.Array,      # [B, D]
+    positive: jax.Array,   # [B, D]
+    negative_pool: jax.Array,  # [N, D] shared across batch
+    margin: float = 0.1,
+) -> jax.Array:
+    """Explicit shared-pool form: hinge against the hardest of N shared
+    negatives per query."""
+    pos_sim = jnp.sum(query * positive, axis=1)
+    max_neg = jnp.max(query @ negative_pool.T, axis=1)
+    return jnp.mean(jax.nn.relu(margin + max_neg - pos_sim))
+
+
+def batch_hard_triplet_loss(
+    query: jax.Array, positive: jax.Array, margin: float = 0.1
+) -> jax.Array:
+    """model/loss.py:66-113: hardest in-batch negative from the masked
+    query-positive similarity matrix."""
+    b = query.shape[0]
+    sim = query @ positive.T
+    eye = jnp.eye(b, dtype=sim.dtype)
+    masked = sim * (1.0 - eye) - eye * 1e9
+    hardest = jnp.max(masked, axis=1)
+    pos_sim = jnp.sum(query * positive, axis=1)
+    return jnp.mean(jax.nn.relu(margin + hardest - pos_sim))
+
+
+def curriculum_loss(
+    query: jax.Array,
+    positive: jax.Array,
+    random_negatives: jax.Array,          # [N, D] shared or [B, N, D]
+    hard_negatives: jax.Array | None,     # [B, H, D] or None
+    epoch: int,
+    margin: float = 0.1,
+    max_epochs: int = 10,
+    hard_negative_factor: float = 2.0,
+) -> jax.Array:
+    """model/loss.py:143-176. ``epoch`` and the None-ness of hard negatives
+    are static (Python-level) so the jitted step specializes per phase."""
+    base = max_margin_loss(query, positive, random_negatives, margin)
+    if epoch < 1 or hard_negatives is None:
+        return base
+    hard = max_margin_loss(query, positive, hard_negatives, margin)
+    hard_weight = min(epoch, max_epochs) / max_epochs * hard_negative_factor
+    return base + hard_weight * hard
+
+
+def cosine_objective(query: jax.Array, positive: jax.Array) -> jax.Array:
+    """The reference's shipped simplified objective: -mean(sum(q*p))
+    (train.py:75-78)."""
+    return -jnp.mean(jnp.sum(query * positive, axis=1))

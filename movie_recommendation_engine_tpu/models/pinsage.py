@@ -1,0 +1,276 @@
+"""PinSage as pure JAX functions.
+
+Functional re-design of the reference model (``model/pinsage.py:151-279``).
+Parameters are a pytree; every forward path is jittable and differentiable.
+The reference's three forward paths are preserved:
+
+(a) **MLP path** (no graph info): relu(input_proj) -> per-layer
+    relu(lin_self) -> output_proj -> L2-norm (model/pinsage.py:205-214).
+(b) **Importance-pooling path** (per-layer [B, K] neighborhoods + weights):
+    pool -> concat with lin_self(h) -> lin_update -> ReLU -> L2-norm
+    (model/pinsage.py:217-240). The reference's per-node Python pooling loop
+    (model/pinsage.py:101-150, hot loop #3 in SURVEY.md §3) becomes a masked
+    gather + einsum that XLA fuses onto the MXU.
+(c) **edge_index path**: full-graph message passing, sum-aggregated with
+    optional edge/importance weights (model/pinsage.py:8-92 GraphConv) via
+    ``jax.ops.segment_sum``.
+
+Fixed-shape conventions replacing the reference's ragged lists:
+neighbor id == ``sentinel`` (>= table size) marks an empty slot; pooling masks
+it and renormalizes over the valid set (matching the reference's
+filter-then-renormalize, model/pinsage.py:119-143). A row with no valid
+neighbors pools to the zero vector (model/pinsage.py:116,133).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from . import aggregators
+
+Params = dict[str, Any]
+
+_EPS = 1e-12  # torch F.normalize eps (model/pinsage.py:66)
+
+
+def _linear_init(key: jax.Array, fan_in: int, fan_out: int) -> dict[str, jax.Array]:
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), minval=-bound, maxval=bound),
+        "b": jax.random.uniform(kb, (fan_out,), minval=-bound, maxval=bound),
+    }
+
+
+def linear(p: dict[str, jax.Array], x: jax.Array, dtype=None) -> jax.Array:
+    w, b = p["w"], p["b"]
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    return (x @ w + b.astype(x.dtype)).astype(jnp.float32)
+
+
+def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, _EPS)
+
+
+def init_params(
+    key: jax.Array,
+    in_dim: int,
+    hidden_dim: int,
+    embed_dim: int,
+    num_layers: int = 2,
+    aggregator: str = "importance",
+) -> Params:
+    """Mirrors PinSage.__init__ (model/pinsage.py:155-184): input_proj,
+    ``num_layers`` GraphConv blocks (lin_self / lin_neigh / lin_update), and
+    output_proj. Aggregators that carry parameters (attention / max /
+    importance-transform, model/aggregators.py:93-287) get their extra
+    leaves under conv["agg"]."""
+    keys = jax.random.split(key, num_layers + 2)
+    params: Params = {
+        "input_proj": _linear_init(keys[0], in_dim, hidden_dim),
+        "convs": [],
+        "output_proj": _linear_init(keys[1], hidden_dim, embed_dim),
+    }
+    for i in range(num_layers):
+        ck = jax.random.split(keys[2 + i], 4)
+        conv = {
+            "self": _linear_init(ck[0], hidden_dim, hidden_dim),
+            "neigh": _linear_init(ck[1], hidden_dim, hidden_dim),
+            "update": _linear_init(ck[2], 2 * hidden_dim, hidden_dim),
+        }
+        agg_p = aggregators.init_aggregator_params(ck[3], aggregator, hidden_dim, hidden_dim)
+        if agg_p is not None:
+            conv["agg"] = agg_p
+        params["convs"].append(conv)
+    return params
+
+
+def num_params(params: Params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# (a) MLP path
+# ---------------------------------------------------------------------------
+
+def mlp_forward(params: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """model/pinsage.py:205-214 — used by the reference's shipped train loop
+    (train.py:72) and run.py's all-movie embedding (run.py:157-165)."""
+    h = jax.nn.relu(linear(params["input_proj"], x, dtype))
+    for conv in params["convs"]:
+        h = jax.nn.relu(linear(conv["self"], h, dtype))
+    return l2_normalize(linear(params["output_proj"], h, dtype))
+
+
+# ---------------------------------------------------------------------------
+# (b) importance-pooling path
+# ---------------------------------------------------------------------------
+
+def importance_pool(
+    h_table: jax.Array,   # [N, D]
+    nbrs: jax.Array,      # [B, K] int32, sentinel for empty slots
+    weights: jax.Array,   # [B, K] f32
+    valid_limit: int | None = None,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Masked weighted-sum pooling (model/pinsage.py:101-150).
+
+    ``valid_limit`` masks neighbors with id >= limit — reproducing the
+    reference's silent drop of out-of-range (user-node) indices when pooling
+    over a movies-only table (model/pinsage.py:124)."""
+    n = h_table.shape[0]
+    limit = n if valid_limit is None else min(valid_limit, n)
+    valid = nbrs < limit
+    w = jnp.where(valid, weights, 0.0)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
+    feats = jnp.take(h_table, jnp.minimum(nbrs, n - 1), axis=0, mode="clip")
+    out = jnp.einsum(
+        "bk,bkd->bd", w.astype(dtype), feats.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.float32)
+
+
+def _conv_block(
+    conv: Params,
+    h_self_in: jax.Array,
+    h_neigh: jax.Array,
+    dtype,
+) -> jax.Array:
+    """concat(lin_self(h), pooled) -> lin_update -> ReLU -> L2-norm
+    (model/pinsage.py:234-240)."""
+    h_self = linear(conv["self"], h_self_in, dtype)
+    h_cat = jnp.concatenate([h_self, h_neigh], axis=-1)
+    h = jax.nn.relu(linear(conv["update"], h_cat, dtype))
+    return l2_normalize(h)
+
+
+def pooled_forward(
+    params: Params,
+    x_table: jax.Array,                 # [N, F] node features
+    layer_neighbors: list[jax.Array],   # per layer [N, K] int32
+    layer_weights: list[jax.Array],     # per layer [N, K] f32
+    valid_limit: int | None = None,
+    dtype=jnp.bfloat16,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    aggregator: str = "importance",
+) -> jax.Array:
+    """Full-graph forward: embeddings for every row of ``x_table``.
+
+    Equivalent of PinSage.get_embeddings (model/pinsage.py:253-279) with
+    per-layer neighborhood tables. ``dropout_rate`` honors the reference's
+    declared-but-unused DROPOUT knob (config.py:24) when an rng is supplied.
+    """
+    h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
+    for i, conv in enumerate(params["convs"]):
+        nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
+        w = layer_weights[min(i, len(layer_weights) - 1)]
+        h_neigh = aggregators.aggregate(
+            aggregator, conv.get("agg"), h, nbrs, w,
+            self_feats=h, valid_limit=valid_limit, dtype=dtype,
+        )
+        h = _conv_block(conv, h, h_neigh, dtype)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    return l2_normalize(linear(params["output_proj"], h, dtype))
+
+
+def pooled_forward_batch(
+    params: Params,
+    x_table: jax.Array,
+    layer_neighbors: list[jax.Array],
+    layer_weights: list[jax.Array],
+    batch_nodes: jax.Array,             # [B] int32 rows to embed
+    valid_limit: int | None = None,
+    dtype=jnp.bfloat16,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    aggregator: str = "importance",
+) -> jax.Array:
+    """Training-step forward: layers 0..L-2 run full-graph (their outputs are
+    the gather table for the next layer); only the final conv + output proj
+    are restricted to ``batch_nodes``. For the default L=2 this is one
+    full-graph conv + one batch-sized conv — all MXU-shaped matmuls, no
+    host work."""
+    convs = params["convs"]
+    h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
+    for i, conv in enumerate(convs[:-1]):
+        nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
+        w = layer_weights[min(i, len(layer_weights) - 1)]
+        h_neigh = aggregators.aggregate(
+            aggregator, conv.get("agg"), h, nbrs, w,
+            self_feats=h, valid_limit=valid_limit, dtype=dtype,
+        )
+        h = _conv_block(conv, h, h_neigh, dtype)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    last = convs[-1]
+    li = len(convs) - 1
+    nbrs = layer_neighbors[min(li, len(layer_neighbors) - 1)]
+    w = layer_weights[min(li, len(layer_weights) - 1)]
+    bn = jnp.take(nbrs, batch_nodes, axis=0, mode="clip")
+    bw = jnp.take(w, batch_nodes, axis=0, mode="clip")
+    h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
+    h_neigh = aggregators.aggregate(
+        aggregator, last.get("agg"), h, bn, bw,
+        self_feats=h_batch, valid_limit=valid_limit, dtype=dtype,
+    )
+    h_out = _conv_block(last, h_batch, h_neigh, dtype)
+    return l2_normalize(linear(params["output_proj"], h_out, dtype))
+
+
+# ---------------------------------------------------------------------------
+# (c) edge_index path (full message passing)
+# ---------------------------------------------------------------------------
+
+def edge_forward(
+    params: Params,
+    x: jax.Array,             # [N, F]
+    edge_src: jax.Array,      # [E] int32
+    edge_dst: jax.Array,      # [E] int32
+    edge_weight: jax.Array | None = None,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """GraphConv message passing (model/pinsage.py:8-92): per conv,
+    msg = lin_neigh(h)[src] * edge_weight, sum-scattered to dst
+    (aggr='add', :20), then concat/update/relu/L2-norm — via segment_sum."""
+    n = x.shape[0]
+    h = jax.nn.relu(linear(params["input_proj"], x, dtype))
+    for conv in params["convs"]:
+        transformed = linear(conv["neigh"], h, dtype)
+        msg = jnp.take(transformed, edge_src, axis=0)
+        if edge_weight is not None:
+            msg = msg * edge_weight[:, None]
+        h_neigh = jax.ops.segment_sum(msg, edge_dst, num_segments=n)
+        h = _conv_block(conv, h, h_neigh, dtype)
+    return l2_normalize(linear(params["output_proj"], h, dtype))
+
+
+def forward(
+    params: Params,
+    x: jax.Array,
+    edge_index: tuple[jax.Array, jax.Array] | None = None,
+    sampled_neighbors: list[jax.Array] | None = None,
+    importance_weights: list[jax.Array] | None = None,
+    **kw,
+) -> jax.Array:
+    """Dispatching wrapper mirroring PinSage.forward's path selection
+    (model/pinsage.py:186-251)."""
+    if edge_index is None and (sampled_neighbors is None or importance_weights is None):
+        return mlp_forward(params, x, kw.get("dtype", jnp.bfloat16))
+    if edge_index is None:
+        return pooled_forward(params, x, sampled_neighbors, importance_weights, **kw)
+    return edge_forward(params, x, edge_index[0], edge_index[1], kw.get("edge_weight"))

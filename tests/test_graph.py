@@ -1,0 +1,150 @@
+"""Graph layer tests: CSR packing, builders, temporal split, features."""
+
+import numpy as np
+import pytest
+
+from movie_recommendation_engine_tpu.graph import builders, features, split
+from movie_recommendation_engine_tpu.graph.csr import csr_from_edge_index
+
+
+def test_csr_roundtrip():
+    edge_index = np.array([[0, 0, 1, 2, 2, 2], [1, 2, 0, 0, 1, 3]])
+    w = np.array([1.0, 3.0, 2.0, 1.0, 1.0, 2.0], dtype=np.float32)
+    g = csr_from_edge_index(edge_index, w, num_nodes=5)
+    assert g.num_nodes == 5
+    nbrs, ww = g.neighbors(0)
+    assert set(nbrs.tolist()) == {1, 2}
+    assert g.degrees.tolist() == [2, 1, 3, 0, 0]
+    # cumprob per row ends at 1.0 and is monotone
+    for node in range(5):
+        s, e = g.indptr[node], g.indptr[node + 1]
+        if e > s:
+            cp = g.cumprob[s:e]
+            assert np.all(np.diff(cp) >= -1e-6)
+            assert abs(cp[-1] - 1.0) < 1e-6
+
+
+def test_csr_cumprob_matches_weights():
+    edge_index = np.array([[7, 7, 7], [1, 2, 3]])
+    w = np.array([1.0, 2.0, 1.0], dtype=np.float32)
+    g = csr_from_edge_index(edge_index, w, num_nodes=8)
+    s = g.indptr[7]
+    np.testing.assert_allclose(g.cumprob[s : s + 3], [0.25, 0.75, 1.0], atol=1e-6)
+
+
+def test_bipartite_builder_offsets():
+    # 2 movies, 2 users; users offset by num_movies=2.
+    g = builders.build_bipartite_graph(
+        user_idx=np.array([0, 1, 1]),
+        movie_idx=np.array([0, 0, 1]),
+        ratings=np.array([5.0, 3.0, 4.0]),
+        num_movies=2,
+        num_users=2,
+    )
+    assert g.num_nodes == 4
+    assert g.num_edges == 6  # bidirectional
+    # user 0 -> node 2, rated movie 0
+    nbrs, w = g.neighbors(2)
+    assert nbrs.tolist() == [0] and w.tolist() == [5.0]
+    # movie 0 rated by users 0,1
+    nbrs, w = g.neighbors(0)
+    assert sorted(nbrs.tolist()) == [2, 3]
+
+
+def test_item_similarity_graph_threshold():
+    # users {0,1,2} each rated movies {0,1}; user 3 rated {0,2}.
+    u = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    m = np.array([0, 1, 0, 1, 0, 1, 0, 2])
+    g = builders.build_item_similarity_graph(u, m, num_movies=3, threshold=2)
+    # pair (0,1) co-occurs 3 times -> kept; (0,2) once -> dropped.
+    nbrs0, w0 = g.neighbors(0)
+    assert nbrs0.tolist() == [1]
+    assert w0.tolist() == [3.0]
+    nbrs2, _ = g.neighbors(2)
+    assert len(nbrs2) == 0
+
+
+def test_temporal_split_reference_semantics():
+    # One user, 10 ratings with increasing timestamps.
+    u = np.zeros(10, dtype=np.int64)
+    m = np.arange(10)
+    r = np.full(10, 4.0, dtype=np.float32)
+    t = np.arange(10) * 100
+    tr, va, te = split.temporal_split(u, m, r, t, val_ratio=0.1, test_ratio=0.2)
+    # n=10: n_test = 2, n_val = 1 -> test = movies {8,9}, val = {7}, train = 0..6
+    assert sorted(te.movie_idx.tolist()) == [8, 9]
+    assert va.movie_idx.tolist() == [7]
+    assert sorted(tr.movie_idx.tolist()) == list(range(7))
+
+
+def test_temporal_split_small_user():
+    # n=2: n_test = max(1, 0) = 1, n_val = 1 -> train empty.
+    u = np.zeros(2, dtype=np.int64)
+    m = np.array([5, 6])
+    r = np.full(2, 3.0, dtype=np.float32)
+    t = np.array([10, 20])
+    tr, va, te = split.temporal_split(u, m, r, t)
+    assert te.movie_idx.tolist() == [6]
+    assert va.movie_idx.tolist() == [5]
+    assert tr.num_interactions == 0
+
+
+def test_positive_pairs_offset():
+    sd = split.SplitData(
+        user_idx=np.array([0, 1]),
+        movie_idx=np.array([3, 4]),
+        ratings=np.array([4.0, 5.0], dtype=np.float32),
+        timestamps=np.array([0, 1]),
+    )
+    pairs = sd.positive_pairs(num_movies=10)
+    assert pairs.tolist() == [[10, 3], [11, 4]]
+
+
+def test_corated_pairs():
+    u = np.array([0, 0, 0, 1, 1])
+    m = np.array([1, 2, 3, 1, 4])
+    r = np.array([5.0, 4.5, 2.0, 4.0, 4.0], dtype=np.float32)
+    pairs = split.corated_item_pairs(u, m, r, min_rating=4.0)
+    got = {tuple(p) for p in pairs.tolist()}
+    # movie 3 excluded (rating 2.0); user0: (1,2); user1: (1,4)
+    assert got == {(1, 2), (1, 4)}
+
+
+def test_genre_onehot_and_year():
+    g, names = features.genre_onehot(["Action|Drama", "Drama"], weight=2.0)
+    assert names == ["Action", "Drama"]
+    np.testing.assert_allclose(g, [[2.0, 2.0], [0.0, 2.0]])
+    y = features.year_feature(["Foo (1999)", "Bar"], norm=2000.0)
+    np.testing.assert_allclose(y, [[1999 / 2000.0], [0.0]])
+
+
+def test_standardize_pca_shapes_and_variance():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 20)).astype(np.float32)
+    x[:, 5] *= 10.0
+    out = features.standardize_pca(x, 4)
+    assert out.shape == (200, 4)
+    # PCA components are ordered by decreasing variance.
+    v = out.var(axis=0)
+    assert np.all(np.diff(v) <= 1e-3)
+
+
+def test_full_feature_pipeline(tiny_data):
+    cfg, data = tiny_data
+    x = features.extract_movie_features(
+        data.titles, data.genres, data.movie_tags, feature_dim=cfg.features.feature_dim
+    )
+    assert x.shape == (data.num_movies, cfg.features.feature_dim)
+    assert np.isfinite(x).all()
+
+
+def test_dataset_load_synthetic(tiny_data):
+    cfg, data = tiny_data
+    assert data.num_movies > 50
+    assert data.num_users > 50
+    assert data.num_interactions > 500
+    assert data.user_idx.max() < data.num_users
+    assert data.movie_idx.max() < data.num_movies
+    # min_interactions filter honored
+    counts = np.bincount(data.user_idx)
+    assert counts[counts > 0].min() >= 1

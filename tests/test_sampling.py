@@ -1,0 +1,172 @@
+"""Walk-kernel tests: distribution vs the numpy golden model, neighborhood
+shapes/weights, hard-negative windows."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movie_recommendation_engine_tpu.graph.csr import csr_from_edge_index
+from movie_recommendation_engine_tpu.sampling import negative, random_walk as rw
+
+
+def _line_graph():
+    # 0 -> 1 -> 2 -> 3 (directed line), unit weights.
+    ei = np.array([[0, 1, 2], [1, 2, 3]])
+    return csr_from_edge_index(ei, None, num_nodes=4)
+
+
+def _weighted_star():
+    # 0 -> {1 (w=1), 2 (w=3)}
+    ei = np.array([[0, 0], [1, 2]])
+    w = np.array([1.0, 3.0], dtype=np.float32)
+    return csr_from_edge_index(ei, w, num_nodes=3)
+
+
+def test_walks_follow_line():
+    csr = _line_graph()
+    g = rw.device_graph(csr)
+    visited = rw.random_walks(
+        g, jnp.array([0], dtype=jnp.int32), jax.random.PRNGKey(0),
+        num_walks=4, walk_length=3, n_iters=rw.search_iters(csr),
+    )
+    # Deterministic walk: always 1, 2, 3.
+    v = np.asarray(visited).reshape(4, 3)
+    assert (v == np.array([1, 2, 3])).all()
+
+
+def test_walk_halts_at_sink():
+    csr = _line_graph()
+    g = rw.device_graph(csr)
+    visited = rw.random_walks(
+        g, jnp.array([2], dtype=jnp.int32), jax.random.PRNGKey(0),
+        num_walks=2, walk_length=3, n_iters=rw.search_iters(csr),
+    )
+    v = np.asarray(visited).reshape(2, 3)
+    # One real step (to 3), then sentinel (=4) forever.
+    assert (v[:, 0] == 3).all()
+    assert (v[:, 1:] == 4).all()
+
+
+def test_weighted_next_hop_distribution():
+    csr = _weighted_star()
+    g = rw.device_graph(csr)
+    visited = rw.random_walks(
+        g, jnp.array([0], dtype=jnp.int32), jax.random.PRNGKey(1),
+        num_walks=4000, walk_length=1, n_iters=rw.search_iters(csr),
+    )
+    v = np.asarray(visited).ravel()
+    frac2 = (v == 2).mean()
+    assert abs(frac2 - 0.75) < 0.03  # w=3 vs w=1
+
+
+def test_importance_neighborhoods_counts():
+    # visited buffer with known counts: node 7 x3, node 2 x2, node 5 x1.
+    sentinel = 10
+    visited = jnp.array([[7, 2, 7, 5, 2, 7, sentinel, sentinel]], dtype=jnp.int32)
+    nbrs, w = rw.importance_neighborhoods(visited, num_neighbors=2, sentinel=sentinel)
+    assert nbrs.tolist() == [[7, 2]]
+    np.testing.assert_allclose(np.asarray(w), [[3 / 5, 2 / 5]], atol=1e-6)
+
+
+def test_importance_neighborhoods_empty():
+    sentinel = 10
+    visited = jnp.full((2, 6), sentinel, dtype=jnp.int32)
+    nbrs, w = rw.importance_neighborhoods(visited, num_neighbors=3, sentinel=sentinel)
+    assert (np.asarray(nbrs) == sentinel).all()
+    assert (np.asarray(w) == 0).all()
+
+
+def test_distribution_matches_reference_model(tiny_data):
+    """Visit-count distribution of the device kernel vs the numpy golden
+    transcription of the reference algorithm, on the bipartite graph."""
+    cfg, data = tiny_data
+    csr = data.build_bipartite_graph()
+    g = rw.device_graph(csr)
+    node = int(np.argmax(np.diff(csr.indptr)[: data.num_movies]))  # busiest movie
+
+    n_iters = rw.search_iters(csr)
+    nbrs, w = rw.sample_neighborhoods(
+        g, jnp.array([node], dtype=jnp.int32), jax.random.PRNGKey(2),
+        num_walks=400, walk_length=2, num_neighbors=10, n_iters=n_iters,
+    )
+    ours = {int(n): float(x) for n, x in zip(np.asarray(nbrs)[0], np.asarray(w)[0]) if x > 0}
+
+    ref_rng = np.random.default_rng(3)
+    ref_n, ref_w = rw.numpy_reference_sample(csr, node, 400, 2, 10, ref_rng)
+    ref = dict(zip(ref_n, ref_w))
+
+    # The two top-10 sets come from independent randomness; compare overlap
+    # and weight mass rather than exact equality.
+    common = set(ours) & set(ref)
+    assert len(common) >= 5
+    for n in common:
+        assert abs(ours[n] - ref[n]) < 0.12
+
+
+def test_all_node_neighborhoods_shapes(tiny_data):
+    cfg, data = tiny_data
+    csr = data.build_bipartite_graph()
+    g = rw.device_graph(csr)
+    nbrs, w = rw.all_node_neighborhoods(
+        g, jax.random.PRNGKey(0), num_walks=10, walk_length=2,
+        num_neighbors=5, n_iters=rw.search_iters(csr), batch=256,
+    )
+    n = csr.num_nodes
+    assert nbrs.shape == (n, 5) and w.shape == (n, 5)
+    ws = np.asarray(w)
+    rows = ws.sum(axis=1)
+    assert ((np.abs(rows - 1.0) < 1e-4) | (rows == 0.0)).all()
+
+
+def test_random_negatives_distinct():
+    neg = negative.sample_random_negatives(jax.random.PRNGKey(0), 100, 50)
+    v = np.asarray(neg)
+    assert len(set(v.tolist())) == 50
+    assert (v >= 0).all() and (v < 100).all()
+
+
+def test_hard_negatives_window_fallback(tiny_data):
+    """Default config window [2000, 5000) exceeds the visited set -> all
+    hard negatives are random movies (reference degenerate behavior)."""
+    cfg, data = tiny_data
+    csr = data.build_bipartite_graph()
+    g = rw.device_graph(csr)
+    q = jnp.arange(4, dtype=jnp.int32)
+    h = negative.sample_hard_negatives(
+        g, q, jax.random.PRNGKey(0), num_hard=3, num_movies=data.num_movies,
+        num_walks=20, walk_length=2, min_rank=2000, max_rank=5000,
+        n_iters=rw.search_iters(csr),
+    )
+    v = np.asarray(h)
+    assert v.shape == (4, 3)
+    assert (v >= 0).all() and (v < data.num_movies).all()
+
+
+def test_hard_negatives_real_window(tiny_data):
+    """With a rank window inside the visited set, hard negatives must be
+    actually-visited movie nodes."""
+    cfg, data = tiny_data
+    csr = data.build_bipartite_graph()
+    g = rw.device_graph(csr)
+    q = jnp.array([0], dtype=jnp.int32)
+    n_iters = rw.search_iters(csr)
+    visited = rw.random_walks(g, q, jax.random.PRNGKey(7), 200, 2, n_iters)
+    vset = set(np.asarray(visited).ravel().tolist())
+    h = negative.sample_hard_negatives(
+        g, q, jax.random.PRNGKey(7), num_hard=2, num_movies=data.num_movies,
+        num_walks=200, walk_length=2, min_rank=5, max_rank=50, n_iters=n_iters,
+    )
+    v = np.asarray(h).ravel()
+    # Same key -> same walks; chosen nodes must come from the visited set
+    # (or be random fallback if the window had < 2 valid movie candidates —
+    # with 200 walks on the tiny graph the window is populated).
+    in_visited = sum(int(x) in vset for x in v)
+    assert in_visited >= 1
+
+
+def test_curriculum_schedule():
+    assert negative.curriculum_num_hard(0) == 0
+    assert negative.curriculum_num_hard(1) == 1
+    assert negative.curriculum_num_hard(5) == 5
+    assert negative.curriculum_num_hard(9) == 6
