@@ -1,0 +1,207 @@
+"""Benchmark: PinSage training throughput (examples/s/chip) on TPU vs the
+reference's PyTorch architecture on CPU.
+
+Prints ONE JSON line to stdout:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload: synthetic MovieLens-shaped graph (the reference workload shape:
+2-layer PinSage, hidden 256, embed 128, K=50 neighbors, batch 512, 500 shared
+random negatives + 6 hard negatives — config.py defaults of the reference).
+
+The baseline re-implements the reference's *intended* train-step math
+(importance-pooling forward + max-margin/curriculum loss + Adam,
+README:130-168) in vectorized torch on CPU — deliberately favoring the
+baseline: the reference's actual pooling is a per-node Python loop
+(model/pinsage.py:101-150) that is orders of magnitude slower. The reference
+has no published numbers (BASELINE.md), so this measured rerun IS the
+baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Workload scale (kept moderate so the whole bench completes in minutes).
+NUM_MOVIES = 8192
+NUM_USERS = 32768
+NUM_RATINGS = 1_500_000
+FEATURE_DIM = 128
+HIDDEN = 256
+EMBED = 128
+K_NBRS = 50
+BATCH = 512
+NUM_RAND_NEG = 500
+NUM_HARD = 6
+STEPS = 30
+WARMUP = 3
+
+
+def _setup_numpy(seed=0):
+    """Synthetic tables shared by both implementations."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((NUM_MOVIES, FEATURE_DIM)).astype(np.float32)
+    nbrs = []
+    weights = []
+    for _ in range(2):
+        nb = rng.integers(0, NUM_MOVIES, (NUM_MOVIES, K_NBRS)).astype(np.int32)
+        w = rng.random((NUM_MOVIES, K_NBRS)).astype(np.float32)
+        w /= w.sum(axis=1, keepdims=True)
+        nbrs.append(nb)
+        weights.append(w)
+    return x, nbrs, weights, rng
+
+
+def bench_tpu(x, nbrs, weights, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from movie_recommendation_engine_tpu.models import losses, pinsage
+    from movie_recommendation_engine_tpu.train import optim
+
+    key = jax.random.PRNGKey(0)
+    params = pinsage.init_params(key, FEATURE_DIM, HIDDEN, EMBED, 2)
+    opt_state = optim.adam_init(params)
+    xj = jnp.asarray(x)
+    nbrs_j = tuple(jnp.asarray(n) for n in nbrs)
+    w_j = tuple(jnp.asarray(w) for w in weights)
+
+    @jax.jit
+    def step(params, opt_state, q, p, rn, hn):
+        b = q.shape[0]
+        r = rn.shape[0]
+
+        def loss_fn(params):
+            all_nodes = jnp.concatenate([q, p, rn, hn.reshape(-1)])
+            emb = pinsage.pooled_forward_batch(
+                params, xj, list(nbrs_j), list(w_j), all_nodes,
+                valid_limit=NUM_MOVIES, dtype=jnp.bfloat16,
+            )
+            q_e, p_e = emb[:b], emb[b:2 * b]
+            r_e = emb[2 * b:2 * b + r]
+            h_e = emb[2 * b + r:].reshape(b, NUM_HARD, -1)
+            return losses.curriculum_loss(q_e, p_e, r_e, h_e, epoch=3,
+                                          max_epochs=10)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.adam_update(grads, opt_state, params, 1e-3)
+        return params, opt_state, loss
+
+    def batch_args():
+        q = jnp.asarray(rng.integers(0, NUM_MOVIES, BATCH), jnp.int32)
+        p = jnp.asarray(rng.integers(0, NUM_MOVIES, BATCH), jnp.int32)
+        rn = jnp.asarray(rng.integers(0, NUM_MOVIES, NUM_RAND_NEG), jnp.int32)
+        hn = jnp.asarray(rng.integers(0, NUM_MOVIES, (BATCH, NUM_HARD)), jnp.int32)
+        return q, p, rn, hn
+
+    args = batch_args()
+    for _ in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state, *args)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        params, opt_state, loss = step(params, opt_state, *args)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt, float(loss)
+
+
+def bench_torch_baseline(x, nbrs, weights, rng, steps=6):
+    """Reference architecture in vectorized torch on CPU (best case for the
+    baseline; the shipped reference pooling is a Python loop and far slower)."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+
+    class Conv(torch.nn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.lin_self = torch.nn.Linear(d, d)
+            self.lin_neigh = torch.nn.Linear(d, d)
+            self.lin_update = torch.nn.Linear(2 * d, d)
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_proj = torch.nn.Linear(FEATURE_DIM, HIDDEN)
+            self.convs = torch.nn.ModuleList([Conv(HIDDEN), Conv(HIDDEN)])
+            self.output_proj = torch.nn.Linear(HIDDEN, EMBED)
+
+        def forward(self, x_table, nbrs, weights, batch_nodes):
+            h = F.relu(self.input_proj(x_table))
+            # conv0 full-graph (pool -> concat -> update -> relu -> l2norm)
+            for li, conv in enumerate(self.convs[:-1]):
+                nb = torch.from_numpy(nbrs[li]).long()
+                w = torch.from_numpy(weights[li])
+                h_n = (h[nb] * w.unsqueeze(-1)).sum(1)
+                h = F.normalize(F.relu(conv.lin_update(
+                    torch.cat([conv.lin_self(h), h_n], dim=1))), dim=1)
+            conv = self.convs[-1]
+            nb = torch.from_numpy(nbrs[-1][batch_nodes]).long()
+            w = torch.from_numpy(weights[-1][batch_nodes])
+            h_b = h[batch_nodes]
+            h_n = (h[nb] * w.unsqueeze(-1)).sum(1)
+            out = F.normalize(F.relu(conv.lin_update(
+                torch.cat([conv.lin_self(h_b), h_n], dim=1))), dim=1)
+            return F.normalize(self.output_proj(out), dim=1)
+
+    model = Model()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    x_t = torch.from_numpy(x)
+
+    def one_step():
+        q = rng.integers(0, NUM_MOVIES, BATCH)
+        p = rng.integers(0, NUM_MOVIES, BATCH)
+        rn = rng.integers(0, NUM_MOVIES, NUM_RAND_NEG)
+        hn = rng.integers(0, NUM_MOVIES, (BATCH, NUM_HARD))
+        all_nodes = np.concatenate([q, p, rn, hn.reshape(-1)])
+        emb = model(x_t, nbrs, weights, all_nodes)
+        b, r = BATCH, NUM_RAND_NEG
+        q_e, p_e = emb[:b], emb[b:2 * b]
+        r_e = emb[2 * b:2 * b + r]
+        h_e = emb[2 * b + r:].reshape(b, NUM_HARD, -1)
+        pos = (q_e * p_e).sum(1)
+        base = F.relu(0.1 + (q_e @ r_e.T).max(1).values - pos).mean()
+        hard = F.relu(
+            0.1 + (q_e.unsqueeze(1) * h_e).sum(2).max(1).values - pos
+        ).mean()
+        loss = base + 0.6 * hard  # epoch 3/10 * factor 2.0
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt
+
+
+def main():
+    x, nbrs, weights, rng = _setup_numpy()
+    print("benchmarking torch CPU baseline ...", file=sys.stderr)
+    baseline = bench_torch_baseline(x, nbrs, weights, np.random.default_rng(1))
+    print(f"baseline: {baseline:.1f} examples/s", file=sys.stderr)
+
+    print("benchmarking TPU train step ...", file=sys.stderr)
+    ours, loss = bench_tpu(x, nbrs, weights, np.random.default_rng(1))
+    print(f"tpu: {ours:.1f} examples/s (loss {loss:.4f})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "pinsage_train_examples_per_sec_per_chip",
+        "value": round(ours, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

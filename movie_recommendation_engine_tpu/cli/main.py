@@ -1,0 +1,241 @@
+"""Unified CLI: one entry point for every mode the reference spreads across
+four scripts (run.py / main.py / inference.py / demo.py — SURVEY.md §1 L6).
+
+    python -m movie_recommendation_engine_tpu <mode> [--set key=value ...]
+
+Modes: train | evaluate | recommend | benchmark | tune | demo | download | all
+(run.py:499-592 modes plus benchmark/demo/download from the other scripts).
+
+Config overrides use dotted keys into the typed Config, e.g.
+    --set train.learning_rate=3e-4 --set data.source=synthetic
+replacing the reference's overlapping argparse/config-module system.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..config import Config, default_config
+from ..core import checkpoint as ckpt
+from ..core.logging import MetricsLogger
+
+
+def _parse_overrides(pairs: list[str]) -> dict:
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects key=value, got: {pair}")
+        k, v = pair.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def _load_config(args) -> Config:
+    cfg = default_config()
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    if args.set:
+        cfg = cfg.override(_parse_overrides(args.set))
+    return cfg
+
+
+def _make_trainer(cfg: Config, logger: MetricsLogger):
+    from ..graph import dataset
+    from ..train.trainer import Trainer
+
+    data = dataset.load(cfg)
+    return Trainer(cfg, data, logger)
+
+
+def cmd_train(cfg: Config, args) -> int:
+    logger = MetricsLogger()
+    tr = _make_trainer(cfg, logger)
+    resume = os.path.join(cfg.paths.checkpoint_dir, "last_model") if args.resume else None
+    result = tr.fit(resume_from=resume)
+    logger.log("done", best_metric=result["best_metric"])
+    return 0
+
+
+def cmd_evaluate(cfg: Config, args) -> int:
+    logger = MetricsLogger()
+    tr = _make_trainer(cfg, logger)
+    path = args.checkpoint or os.path.join(cfg.paths.checkpoint_dir, "best_model")
+    if os.path.exists(path + ".npz"):
+        tr.load_checkpoint(path)
+        logger.log("loaded_checkpoint", path=path)
+    results = tr.evaluate()
+    logger.log("evaluation", **results)
+    # Persist embeddings like run.py:250 / inference.py:146-170.
+    os.makedirs(cfg.paths.output_dir, exist_ok=True)
+    emb = np.asarray(tr.movie_embeddings())
+    ckpt.save_embeddings(
+        os.path.join(cfg.paths.output_dir, "movie_embeddings"),
+        emb, tr.data.movie_ids,
+    )
+    return 0
+
+
+def _load_or_compute_embeddings(cfg: Config, args, logger):
+    emb_path = os.path.join(cfg.paths.output_dir, "movie_embeddings.npz")
+    tr = _make_trainer(cfg, logger)
+    path = args.checkpoint or os.path.join(cfg.paths.checkpoint_dir, "best_model")
+    if os.path.exists(path + ".npz"):
+        tr.load_checkpoint(path)
+    if args.use_saved_embeddings and os.path.exists(emb_path):
+        emb, movie_ids = ckpt.load_embeddings(emb_path)
+        return tr, emb
+    return tr, np.asarray(tr.movie_embeddings())
+
+
+def cmd_recommend(cfg: Config, args) -> int:
+    """Top-k similar movies for --movie-id via the configured search method
+    (run.py:431-497, inference.py:96-144)."""
+    import jax.numpy as jnp
+
+    from ..retrieval.bench import make_index
+
+    logger = MetricsLogger(pretty=False)
+    tr, emb = _load_or_compute_embeddings(cfg, args, logger)
+    data = tr.data
+    lut = data.movie_id_to_idx()
+    if args.movie_id is not None and int(args.movie_id) in lut:
+        qidx = lut[int(args.movie_id)]
+    elif args.movie_id is not None:
+        print(f"movieId {args.movie_id} not in dataset")
+        return 1
+    else:
+        qidx = 0
+
+    k = args.k
+    method = cfg.search.search_method
+    if method == "exact":
+        from ..evaluation.metrics import recommend as rec
+
+        scores, idx = rec(jnp.asarray(emb), jnp.asarray([qidx], jnp.int32), k=k)
+        idx = np.asarray(idx)[0]
+        scores = np.asarray(scores)[0]
+    else:
+        index = make_index(method, emb.shape[1], cfg)
+        index.build(emb)
+        d, i = index.search(emb[qidx : qidx + 1], k=k + 1)
+        idx = np.asarray(i)[0]
+        scores = -np.asarray(d)[0]
+        keep = idx != qidx
+        idx, scores = idx[keep][:k], scores[keep][:k]
+
+    print(f"\nQuery: [{data.movie_ids[qidx]}] {data.titles[qidx]} ({data.genres[qidx]})")
+    print(f"Top-{k} recommendations ({method}):")
+    rows = []
+    for rank, (i, s) in enumerate(zip(idx, scores), 1):
+        i = int(i)
+        print(f"  {rank:2d}. [{data.movie_ids[i]}] {data.titles[i]} "
+              f"({data.genres[i]}) score={float(s):.4f}")
+        rows.append((rank, int(data.movie_ids[i]), data.titles[i], float(s)))
+    if args.save_csv:
+        import csv
+
+        os.makedirs(cfg.paths.output_dir, exist_ok=True)
+        out = os.path.join(cfg.paths.output_dir, "recommendations.csv")
+        with open(out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["rank", "movieId", "title", "score"])
+            w.writerows(rows)
+        print(f"saved {out}")
+    return 0
+
+
+def cmd_benchmark(cfg: Config, args) -> int:
+    """exact/LSH/IVF latency + recall report
+    (utils/nearest_neighbors.py:141-254)."""
+    from ..retrieval.bench import benchmark_search_methods, print_benchmark
+
+    logger = MetricsLogger(pretty=False)
+    tr, emb = _load_or_compute_embeddings(cfg, args, logger)
+    rng = np.random.default_rng(cfg.train.seed)
+    nq = min(args.num_queries, emb.shape[0])
+    q = emb[rng.choice(emb.shape[0], nq, replace=False)]
+    results = benchmark_search_methods(emb, q, k=args.k, cfg=cfg)
+    print_benchmark(results, k=args.k)
+    return 0
+
+
+def cmd_tune(cfg: Config, args) -> int:
+    from ..train.tune import hyperparameter_tuning
+
+    logger = MetricsLogger()
+    result = hyperparameter_tuning(cfg, logger)
+    logger.log("tune_done", best=result["best"])
+    return 0
+
+
+def cmd_demo(cfg: Config, args) -> int:
+    from .demo import run_demo
+
+    return run_demo(cfg, args)
+
+
+def cmd_download(cfg: Config, args) -> int:
+    from ..graph.download import download_ml25m
+
+    return 0 if download_ml25m(cfg.data.data_dir) else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="movie_recommendation_engine_tpu",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("mode", choices=[
+        "train", "evaluate", "recommend", "benchmark", "tune", "demo",
+        "download", "all",
+    ])
+    ap.add_argument("--config", help="path to a Config JSON")
+    ap.add_argument("--set", action="append", default=[],
+                    help="dotted config override key=value (repeatable)")
+    ap.add_argument("--checkpoint", help="checkpoint path (without .npz)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume training from the last checkpoint")
+    ap.add_argument("--movie-id", type=int, help="query movieId for recommend")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--num-queries", type=int, default=256,
+                    help="benchmark query count")
+    ap.add_argument("--use-saved-embeddings", action="store_true")
+    ap.add_argument("--save-csv", action="store_true")
+    ap.add_argument("--platform", choices=["cpu", "tpu", "axon", "default"],
+                    default="default",
+                    help="force the JAX platform (overrides env/plugins)")
+    args = ap.parse_args(argv)
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    cfg = _load_config(args)
+
+    if args.mode == "all":  # run.py mode 'all': train then evaluate then recommend
+        rc = cmd_train(cfg, args)
+        rc = rc or cmd_evaluate(cfg, args)
+        return rc or cmd_recommend(cfg, args)
+    return {
+        "train": cmd_train,
+        "evaluate": cmd_evaluate,
+        "recommend": cmd_recommend,
+        "benchmark": cmd_benchmark,
+        "tune": cmd_tune,
+        "demo": cmd_demo,
+        "download": cmd_download,
+    }[args.mode](cfg, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -218,8 +218,10 @@ class Config:
             parts = key.split(".")
             node = d
             for p in parts[:-1]:
+                if not isinstance(node, dict) or p not in node:
+                    raise KeyError(f"unknown config key: {key}")
                 node = node[p]
-            if parts[-1] not in node:
+            if not isinstance(node, dict) or parts[-1] not in node:
                 raise KeyError(f"unknown config key: {key}")
             node[parts[-1]] = value
         return Config.from_dict(d)

@@ -124,28 +124,30 @@ def _tfidf_fallback(docs: list[str], max_features: int, min_df: int) -> np.ndarr
 
 
 def standardize_pca(features: np.ndarray, out_dim: int, seed: int = 0) -> np.ndarray:
-    """StandardScaler + PCA on device (feature_extractor.py:89-102 semantics).
+    """StandardScaler + PCA (feature_extractor.py:89-102 semantics).
 
     Center/scale each column, then project onto the top ``out_dim``
-    eigenvectors of the covariance matrix. Uses jnp.linalg.eigh on the [F, F]
-    covariance — F is a few hundred here, so the dominant cost is the two
-    [M, F] matmuls which run on the MXU.
+    eigenvectors of the [F, F] covariance. This is one-time host-side
+    featurization: the eigendecomposition runs in numpy (LAPACK) because the
+    experimental TPU tunnel backend mishandles eigh; the projection matmul is
+    cheap either way (F is a few hundred).
     """
-    x = jnp.asarray(features, dtype=jnp.float32)
+    x = np.asarray(features, dtype=np.float64)
     mean = x.mean(axis=0, keepdims=True)
     std = x.std(axis=0, keepdims=True)
-    std = jnp.where(std == 0, 1.0, std)
+    std[std == 0] = 1.0
     xs = (x - mean) / std
     n = xs.shape[0]
-    cov = (xs.T @ xs) / jnp.maximum(n - 1, 1)
-    eigvals, eigvecs = jnp.linalg.eigh(cov)       # ascending order
+    cov = (xs.T @ xs) / max(n - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)         # ascending order
     top = eigvecs[:, ::-1][:, :out_dim]            # principal components
     # Sign convention: make the largest-|.| loading positive per component
     # (matches sklearn's deterministic svd_flip up to data-degenerate ties).
-    idx = jnp.argmax(jnp.abs(top), axis=0)
-    signs = jnp.sign(top[idx, jnp.arange(top.shape[1])])
+    idx = np.argmax(np.abs(top), axis=0)
+    signs = np.sign(top[idx, np.arange(top.shape[1])])
+    signs[signs == 0] = 1.0
     top = top * signs[None, :]
-    return np.asarray(xs @ top, dtype=np.float32)
+    return (xs @ top).astype(np.float32)
 
 
 def extract_movie_features(

@@ -1,0 +1,73 @@
+"""Device mesh & distributed runtime.
+
+Entirely new relative to the reference, which is single-device
+(``run.py:87`` cuda-else-cpu; SURVEY.md §2b documents the absence of any
+parallelism). Axes:
+
+- ``data``  — batch (data-parallel); gradients are reduced by XLA-inserted
+  psum over ICI.
+- ``model`` — row-sharding for node feature / embedding / neighborhood
+  tables (the "graph side" scaling axis; SURVEY.md §5: the TPU analog of
+  long-context here is #nodes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init() -> None:
+    """Multi-host init (jax.distributed) when the standard env vars are set;
+    no-op single-host."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    shape: tuple[int, int] | None = None,
+    axis_names: tuple[str, str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """(data, model) mesh. Default: all devices on the data axis.
+
+    For multi-host slices, axes are laid out so the model axis stays within
+    a host's local devices when possible (table gathers ride ICI, gradient
+    psum crosses DCN only once per step)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """First dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """First dim over the model axis (feature/embedding/neighbor tables)."""
+    return NamedSharding(mesh, P("model", None))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0, value=0):
+    """Pad an array so dim ``axis`` divides ``multiple`` (sharding needs
+    evenly divisible global shapes)."""
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=value), n

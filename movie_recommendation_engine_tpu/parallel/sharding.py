@@ -1,0 +1,144 @@
+"""Sharded (multi-chip) training step: dp over ``data``, row-sharded tables
+over ``model``.
+
+The reference has no distributed code at all (SURVEY.md §2b); this is the
+TPU-native design: annotate NamedShardings on a jitted step and let XLA's
+SPMD partitioner insert the collectives —
+
+- batch indices (q / p / hard negatives) sharded over ``data`` -> gradient
+  psum over ICI inserted automatically by the partitioner,
+- node feature + neighborhood tables row-sharded over ``model`` -> table
+  gathers become partitioned gathers/all-to-alls over ICI,
+- parameters replicated.
+
+This is the same program the single-chip Trainer runs, specialized with
+shardings; numerics are identical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import losses, pinsage
+from ..train import optim
+
+
+class ShardedStepConfig(NamedTuple):
+    aggregator: str = "importance"
+    loss: str = "max_margin"            # max_margin | batch_hard | curriculum | cosine
+    margin: float = 0.1
+    num_hard: int = 0
+    epoch: int = 0
+    max_epochs: int = 10
+    hard_neg_factor: float = 2.0
+    valid_limit: int | None = None
+    dtype: Any = jnp.bfloat16
+
+
+def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
+    """Returns (step_fn, shardings) where
+
+    step_fn(params, opt_state, x_table, nbrs_l, w_l, q, p, rand_negs,
+            hard_negs, lr) -> (params, opt_state, loss)
+
+    nbrs_l / w_l are tuples of per-layer [N, K] tables. ``hard_negs`` must be
+    a [B, num_hard] array when scfg.num_hard > 0, else a [B, 1] placeholder.
+    """
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("model", None))
+    dat = NamedSharding(mesh, P("data"))
+    dat2 = NamedSharding(mesh, P("data", None))
+
+    def step(params, opt_state, x_table, nbrs_l, w_l, q, p, rand_negs,
+             hard_negs, lr):
+        b = q.shape[0]
+        r = rand_negs.shape[0]
+
+        def loss_fn(params):
+            nodes = [q, p, rand_negs]
+            if scfg.num_hard > 0:
+                nodes.append(hard_negs.reshape(-1))
+            all_nodes = jnp.concatenate(nodes)
+            emb = pinsage.pooled_forward_batch(
+                params, x_table, list(nbrs_l), list(w_l), all_nodes,
+                valid_limit=scfg.valid_limit, dtype=scfg.dtype,
+                aggregator=scfg.aggregator,
+            )
+            q_emb, p_emb = emb[:b], emb[b : 2 * b]
+            r_emb = emb[2 * b : 2 * b + r]
+            h_emb = (
+                emb[2 * b + r :].reshape(b, scfg.num_hard, -1)
+                if scfg.num_hard > 0 else None
+            )
+            if scfg.loss == "cosine":
+                return losses.cosine_objective(q_emb, p_emb)
+            if scfg.loss == "batch_hard":
+                return losses.batch_hard_triplet_loss(q_emb, p_emb, scfg.margin)
+            if scfg.loss == "max_margin":
+                return losses.shared_pool_max_margin_loss(
+                    q_emb, p_emb, r_emb, scfg.margin
+                )
+            return losses.curriculum_loss(
+                q_emb, p_emb, r_emb, h_emb, scfg.epoch,
+                margin=scfg.margin, max_epochs=scfg.max_epochs,
+                hard_negative_factor=scfg.hard_neg_factor,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.adam_update(grads, opt_state, params, lr)
+        return params, opt_state, loss
+
+    def tree_shard(tree, sharding):
+        return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+    def shardings_for(params, opt_state, nbrs_l, w_l):
+        in_shardings = (
+            tree_shard(params, rep),
+            tree_shard(opt_state, rep),
+            row,                                   # x_table
+            tuple(row for _ in nbrs_l),            # nbr tables
+            tuple(row for _ in w_l),               # weight tables
+            dat, dat,                              # q, p
+            rep,                                   # rand_negs (shared pool)
+            dat2,                                  # hard_negs
+            rep,                                   # lr
+        )
+        out_shardings = (
+            tree_shard(params, rep), tree_shard(opt_state, rep), rep
+        )
+        return in_shardings, out_shardings
+
+    def compile_step(params, opt_state, nbrs_l, w_l):
+        in_sh, out_sh = shardings_for(params, opt_state, nbrs_l, w_l)
+        return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
+
+    return compile_step
+
+
+def sharded_embed_fn(mesh: Mesh, scfg: ShardedStepConfig):
+    """Full-corpus embedding generation sharded over the model axis: the
+    output [N, E] table comes back row-sharded (it stays distributed for
+    sharded retrieval)."""
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("model", None))
+
+    def embed(params, x_table, nbrs_l, w_l):
+        return pinsage.pooled_forward(
+            params, x_table, list(nbrs_l), list(w_l),
+            valid_limit=scfg.valid_limit, dtype=scfg.dtype,
+            aggregator=scfg.aggregator,
+        )
+
+    def compile_embed(params, nbrs_l, w_l):
+        in_sh = (
+            jax.tree_util.tree_map(lambda _: rep, params),
+            row, tuple(row for _ in nbrs_l), tuple(row for _ in w_l),
+        )
+        return jax.jit(embed, in_shardings=in_sh, out_shardings=row)
+
+    return compile_embed

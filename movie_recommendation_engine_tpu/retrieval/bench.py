@@ -1,0 +1,115 @@
+"""ANN benchmark harness: latency + recall@k for exact / LSH / IVF.
+
+Mirrors the reference's ``benchmark_search_methods``
+(utils/nearest_neighbors.py:141-254): times each method, reports index size,
+and computes recall@k of each approximate method against exact search.
+Latency here is measured properly for an async device: results are
+block_until_ready'd, with a warmup call excluded (the first call pays XLA
+compilation)."""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .exact import ExactIndex
+from .ivf import WeakANDIndex
+from .lsh import LSHIndex
+
+
+def make_index(method: str, dim: int, cfg=None, seed: int = 0):
+    """Index factory honoring SearchConfig (config.py:48-53)."""
+    if method == "exact":
+        return ExactIndex(dim)
+    if method == "lsh":
+        bits = cfg.search.lsh_bits if cfg else 256
+        tables = cfg.search.lsh_tables if cfg else 16
+        return LSHIndex(dim, num_bits=bits, num_tables=tables, seed=seed)
+    if method == "ivf":
+        parts = cfg.search.ivf_partitions if cfg else 100
+        factor = cfg.search.ivf_factor if cfg else 10
+        nprobe = cfg.search.ivf_nprobe if cfg else 20
+        return WeakANDIndex(dim, num_partitions=parts, candidates_factor=factor,
+                            nprobe=nprobe, seed=seed)
+    raise ValueError(f"unknown search method: {method}")
+
+
+def _timed_search(index, queries, k, repeats: int = 3):
+    # Warmup (compile) then timed repeats.
+    d, i = index.search(queries, k)
+    jax.block_until_ready((d, i))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        d, i = index.search(queries, k)
+        jax.block_until_ready((d, i))
+        times.append(time.perf_counter() - t0)
+    return np.asarray(d), np.asarray(i), min(times)
+
+
+def benchmark_search_methods(
+    embeddings,
+    queries,
+    k: int = 10,
+    methods: list[str] | None = None,
+    cfg=None,
+    repeats: int = 3,
+) -> dict[str, dict[str, Any]]:
+    emb = jnp.asarray(embeddings, dtype=jnp.float32)
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    dim = int(emb.shape[1])
+    methods = methods or ["exact", "lsh", "ivf"]
+    names = {
+        "exact": "Exact (Brute Force)",
+        "lsh": "Locality-Sensitive Hashing",
+        "ivf": "Weak AND (IVF)",
+    }
+
+    results: dict[str, dict[str, Any]] = {}
+    for method in methods:
+        index = make_index(method, dim, cfg)
+        t_build0 = time.perf_counter()
+        index.build(emb)
+        built = getattr(index, "_emb", None)
+        if built is None:
+            built = getattr(index, "_sigs", None)
+        jax.block_until_ready(built)
+        build_time = time.perf_counter() - t_build0
+        d, i, search_time = _timed_search(index, q, k, repeats)
+        results[method] = {
+            "distances": d,
+            "indices": i,
+            "search_time": search_time,
+            "search_time_per_query_ms": search_time / max(q.shape[0], 1) * 1e3,
+            "build_time": build_time,
+            "index_size": index.ntotal,
+            "method": names[method],
+        }
+
+    if "exact" in results:
+        exact_idx = results["exact"]["indices"]
+        for method, data in results.items():
+            if method == "exact":
+                continue
+            recall = 0.0
+            for row in range(exact_idx.shape[0]):
+                e = set(exact_idx[row].tolist())
+                m = set(int(x) for x in data["indices"][row].tolist() if x >= 0)
+                recall += len(e & m) / k
+            data["recall"] = recall / max(exact_idx.shape[0], 1)
+    return results
+
+
+def print_benchmark(results: dict[str, dict[str, Any]], k: int = 10) -> None:
+    print("\nBenchmark Results:\n-----------------")
+    for method, data in results.items():
+        print(f"{data['method']}:")
+        print(f"  Search time: {data['search_time']:.6f} seconds "
+              f"({data['search_time_per_query_ms']:.4f} ms/query)")
+        print(f"  Index size: {data['index_size']} vectors")
+        if "recall" in data:
+            print(f"  recall@{k}: {data['recall']:.4f}")

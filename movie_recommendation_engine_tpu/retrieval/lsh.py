@@ -1,0 +1,96 @@
+"""LSH retrieval: random-hyperplane signatures + batched Hamming top-k.
+
+Replaces FAISS ``IndexLSH(dim, 256, 16)`` (reference
+utils/nearest_neighbors.py:7-68; defaults config.py:50-51). Design:
+
+- ``num_tables`` independent random-hyperplane projections of ``num_bits``
+  each; item/query signatures are sign bits packed into uint32 lanes
+  ([N, T, W] with W = num_bits/32).
+- Search scores each item by its **minimum** Hamming distance across tables
+  (the batched analogue of classic multi-table LSH where a candidate matching
+  any table is retrieved), computed with XOR + ``lax.population_count`` —
+  integer VPU ops, no MXU involvement — then a single top-k.
+
+The whole search is one jitted program over signatures resident in HBM;
+nothing touches the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pack_bits(signs: jax.Array) -> jax.Array:
+    """[..., B] bool -> [..., B/32] uint32 (B must be a multiple of 32)."""
+    *lead, b = signs.shape
+    w = b // 32
+    x = signs.reshape(*lead, w, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(x << shifts, axis=-1, dtype=jnp.uint32)
+
+
+class LSHIndex:
+    """build(embeddings) / search(queries, k) mirroring the reference class
+    (utils/nearest_neighbors.py:7-68)."""
+
+    def __init__(self, dim: int, num_bits: int = 256, num_tables: int = 16,
+                 seed: int = 0):
+        if num_bits % 32:
+            raise ValueError("num_bits must be a multiple of 32")
+        self.dim = dim
+        self.num_bits = num_bits
+        self.num_tables = num_tables
+        key = jax.random.PRNGKey(seed)
+        # [T, D, B] hyperplanes.
+        self.planes = jax.random.normal(
+            key, (num_tables, dim, num_bits), dtype=jnp.float32
+        )
+        self._sigs: jax.Array | None = None
+
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._sigs is None else int(self._sigs.shape[0])
+
+    def _signatures(self, x: jax.Array) -> jax.Array:
+        """[N, D] -> packed [N, T, W] uint32."""
+        proj = jnp.einsum("nd,tdb->ntb", x, self.planes,
+                          preferred_element_type=jnp.float32)
+        return _pack_bits(proj >= 0)
+
+    def build(self, embeddings) -> None:
+        x = jnp.asarray(embeddings, dtype=jnp.float32)
+        self._sigs = self._signatures(x)
+
+    def search(self, queries, k: int = 10):
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        qsig = self._signatures(q)
+        return _hamming_topk(qsig, self._sigs, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _hamming_topk(qsig: jax.Array, sigs: jax.Array, k: int):
+    """qsig [Q, T, W], sigs [N, T, W] -> (min-table Hamming distance [Q, k],
+    indices [Q, k]). Chunked over N to bound the [Q, C, T, W] XOR buffer."""
+    qn, t, w = qsig.shape
+    n = sigs.shape[0]
+    chunk = max(1, min(n, 1 << 22) // max(qn * t * w, 1))
+    chunk = max(128, chunk)
+    pad = (-n) % chunk
+    sigs_p = jnp.pad(sigs, ((0, pad), (0, 0), (0, 0)))
+    num_chunks = sigs_p.shape[0] // chunk
+
+    def body(_, ci):
+        block = jax.lax.dynamic_slice_in_dim(sigs_p, ci * chunk, chunk, axis=0)
+        x = jnp.bitwise_xor(qsig[:, None], block[None])      # [Q, C, T, W]
+        ham = jnp.sum(jax.lax.population_count(x), axis=-1)   # [Q, C, T]
+        dist = jnp.min(ham, axis=-1).astype(jnp.int32)        # [Q, C]
+        return _, dist
+
+    _, dists = jax.lax.scan(body, None, jnp.arange(num_chunks))
+    dists = jnp.moveaxis(dists, 0, 1).reshape(qn, -1)[:, :n]  # [Q, N]
+    neg, idx = jax.lax.top_k(-dists, k)
+    return -neg, idx

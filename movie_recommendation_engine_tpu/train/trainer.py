@@ -1,0 +1,406 @@
+"""Training runtime: jitted PinSage train step, epoch driver, checkpoint/resume.
+
+This implements the reference's *documented* training design (README:130-168;
+SURVEY.md §7 hard part 4): max-margin / curriculum loss over random + rank-window
+hard negatives on importance-pooled graph embeddings — the components the
+reference constructs (run.py:97-122) but never wires into its shipped loop
+(train.py:8-124). The shipped simplified loop (MLP path + negative-mean-cosine
+objective) is also available via ``cfg.train.train_path = "mlp"`` for strict
+parity runs.
+
+TPU design:
+- Neighborhood tables ([N, K] ids + weights per layer) are sampled on device
+  and refreshed every ``refresh_neighborhoods_every`` epochs; the train step
+  is then a single pure jitted program: gather -> pooled GCN forward ->
+  loss -> grads -> Adam, with bf16 matmuls on the MXU.
+- Validation is *real* HR@k on held-out pairs every ``eval_every`` epochs —
+  the reference's validation hitrate is simulated (train.py:93,
+  ``0.5 + epoch/(2*EPOCHS)``), which we deliberately fix.
+- Checkpointing restores model + optimizer + RNG + schedule state (true
+  resume; the reference saves optimizer state but never restores it).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core import checkpoint as ckpt
+from ..core.logging import MetricsLogger, StepTimer
+from ..evaluation import metrics as eval_metrics
+from ..graph import features as feat_mod
+from ..graph.dataset import MovieLensData
+from ..graph.split import corated_item_pairs
+from ..models import losses, pinsage
+from ..sampling import negative, random_walk as rw
+from . import optim
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class Trainer:
+    """End-to-end training driver. Construct once per dataset+config."""
+
+    def __init__(self, cfg: Config, data: MovieLensData, logger: MetricsLogger | None = None):
+        self.cfg = cfg
+        self.data = data
+        self.log = logger or MetricsLogger()
+
+        # ---- graph ---------------------------------------------------------
+        if cfg.graph.use_bipartite_graph:
+            self.csr = data.build_bipartite_graph()
+        else:
+            self.csr = data.build_item_similarity_graph(
+                threshold=cfg.graph.similarity_threshold
+            )
+        self.graph = rw.device_graph(self.csr)
+        self.n_iters = rw.search_iters(self.csr)
+
+        # ---- features ------------------------------------------------------
+        movie_features = feat_mod.extract_movie_features(
+            data.titles, data.genres, data.movie_tags,
+            feature_dim=cfg.features.feature_dim,
+            genre_weight=cfg.features.genre_weight,
+            year_norm=cfg.features.year_norm,
+            title_tfidf_max=cfg.features.title_tfidf_max_features,
+            title_tfidf_min_df=cfg.features.title_tfidf_min_df,
+            tag_tfidf_max=cfg.features.tag_tfidf_max_features,
+            tag_tfidf_min_df=cfg.features.tag_tfidf_min_df,
+            seed=cfg.train.seed,
+        )
+        if cfg.features.use_visual_features:
+            vis = feat_mod.create_visual_features(
+                data.num_movies, cfg.features.feature_dim, seed=cfg.train.seed
+            )
+            movie_features = movie_features + vis  # additive fusion
+
+        self.movies_only = (
+            cfg.model.pool_nodes == "movies_only" or not cfg.graph.use_bipartite_graph
+        )
+        if self.movies_only:
+            self.x_table = jnp.asarray(movie_features)
+            self.valid_limit = data.num_movies
+        else:
+            self.x_table = jnp.asarray(
+                feat_mod.node_feature_table(movie_features, data.num_users)
+            )
+            self.valid_limit = None
+        self.table_rows = int(self.x_table.shape[0])
+
+        # ---- splits & pairs ------------------------------------------------
+        tr, va, te = data.temporal_split(cfg.train.val_ratio, cfg.train.test_ratio)
+        self.splits = (tr, va, te)
+        seed = cfg.train.seed
+        self.train_pairs = corated_item_pairs(
+            tr.user_idx, tr.movie_idx, tr.ratings,
+            min_rating=cfg.eval.corated_min_rating, seed=seed,
+        )
+        self.val_pairs = corated_item_pairs(
+            va.user_idx, va.movie_idx, va.ratings,
+            min_rating=cfg.eval.corated_min_rating, seed=seed + 1,
+        )
+        self.test_pairs = corated_item_pairs(
+            te.user_idx, te.movie_idx, te.ratings,
+            min_rating=cfg.eval.corated_min_rating, seed=seed + 2,
+        )
+        if self.train_pairs.shape[0] == 0:
+            # Degenerate tiny datasets: fall back to user-movie interaction
+            # pairs mapped into movie space (both endpoints = the movie).
+            m = tr.movie_idx
+            self.train_pairs = np.stack([m, m], axis=1)
+
+        # ---- model / optimizer --------------------------------------------
+        key = jax.random.PRNGKey(seed)
+        key, pkey = jax.random.split(key)
+        self.params = pinsage.init_params(
+            pkey, cfg.features.feature_dim, cfg.model.hidden_dim,
+            cfg.model.embed_dim, cfg.model.num_layers, cfg.model.aggregator_type,
+        )
+        self.opt_state = optim.adam_init(self.params)
+        self.plateau = optim.plateau_init(cfg.train.learning_rate)
+        self.rng = key
+        self.epoch = 0
+        self.best_metric = -float("inf")
+        self.nbr_tables: list[tuple[jax.Array, jax.Array]] | None = None
+        self.compute_dtype = _dtype(cfg.train.compute_dtype)
+
+        self.log.log(
+            "init",
+            num_movies=data.num_movies, num_users=data.num_users,
+            num_nodes=self.csr.num_nodes, num_edges=self.csr.num_edges,
+            num_params=pinsage.num_params(self.params),
+            train_pairs=int(self.train_pairs.shape[0]),
+            val_pairs=int(self.val_pairs.shape[0]),
+            test_pairs=int(self.test_pairs.shape[0]),
+        )
+
+    # ---- neighborhoods ----------------------------------------------------
+
+    def refresh_neighborhoods(self) -> None:
+        """Resample per-layer neighborhood tables for every table row
+        (model/pinsage.py:271-275 samples one table per layer)."""
+        cfg = self.cfg
+        tables = []
+        for _ in range(cfg.model.num_layers):
+            self.rng, k = jax.random.split(self.rng)
+            nbrs, w = rw.all_node_neighborhoods(
+                self.graph, k, cfg.walk.num_walks, cfg.walk.walk_length,
+                cfg.walk.num_neighbors, self.n_iters,
+                num_nodes=self.table_rows,
+            )
+            tables.append((nbrs, w))
+        self.nbr_tables = tables
+
+    # ---- train step -------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "num_hard", "epoch_static"))
+    def _step(
+        self,
+        params,
+        opt_state,
+        nbrs_l: tuple,
+        w_l: tuple,
+        q: jax.Array,
+        p: jax.Array,
+        rand_negs: jax.Array,
+        hard_negs: jax.Array | None,
+        lr: jax.Array,
+        dropout_key: jax.Array,
+        num_hard: int,
+        epoch_static: int,
+    ):
+        cfg = self.cfg
+        b = q.shape[0]
+        r = rand_negs.shape[0]
+
+        def loss_fn(params):
+            nodes = [q, p, rand_negs]
+            if num_hard > 0:
+                nodes.append(hard_negs.reshape(-1))
+            all_nodes = jnp.concatenate(nodes)
+            if cfg.train.train_path == "mlp":
+                x = jnp.take(self.x_table, all_nodes, axis=0)
+                emb = pinsage.mlp_forward(params, x, self.compute_dtype)
+            else:
+                emb = pinsage.pooled_forward_batch(
+                    params, self.x_table, list(nbrs_l), list(w_l), all_nodes,
+                    valid_limit=self.valid_limit, dtype=self.compute_dtype,
+                    dropout_rate=cfg.model.dropout, dropout_rng=dropout_key,
+                    aggregator=cfg.model.aggregator_type,
+                )
+            q_emb, p_emb = emb[:b], emb[b : 2 * b]
+            r_emb = emb[2 * b : 2 * b + r]
+            h_emb = emb[2 * b + r :].reshape(b, num_hard, -1) if num_hard > 0 else None
+
+            kind = cfg.train.loss if cfg.train.train_path != "mlp" else "cosine"
+            if kind == "cosine":
+                return losses.cosine_objective(q_emb, p_emb)
+            if kind == "batch_hard":
+                return losses.batch_hard_triplet_loss(q_emb, p_emb, cfg.train.margin)
+            if kind == "max_margin":
+                return losses.shared_pool_max_margin_loss(
+                    q_emb, p_emb, r_emb, cfg.train.margin
+                )
+            return losses.curriculum_loss(
+                q_emb, p_emb, r_emb, h_emb, epoch_static,
+                margin=cfg.train.margin, max_epochs=cfg.train.epochs,
+                hard_negative_factor=cfg.train.hard_neg_factor,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.adam_update(grads, opt_state, params, lr)
+        return params, opt_state, loss
+
+    # ---- epoch driver -----------------------------------------------------
+
+    def _epoch_pairs(self, rng: np.random.Generator) -> np.ndarray:
+        pairs = self.train_pairs
+        cap = self.cfg.train.max_pairs_per_epoch
+        if cap is not None and pairs.shape[0] > cap:
+            sel = rng.choice(pairs.shape[0], size=cap, replace=False)
+            pairs = pairs[sel]
+        else:
+            pairs = pairs[rng.permutation(pairs.shape[0])]
+        # Pad to a whole number of fixed-size batches (wrap-around) so the
+        # jitted step sees one static batch shape.
+        bsz = min(self.cfg.train.batch_size, max(pairs.shape[0], 1))
+        pad = (-pairs.shape[0]) % bsz
+        if pad:
+            pairs = np.concatenate([pairs, pairs[:pad]], axis=0)
+        return pairs.reshape(-1, bsz, 2)
+
+    def train_epoch(self, epoch: int) -> dict[str, float]:
+        cfg = self.cfg
+        refresh = cfg.train.refresh_neighborhoods_every
+        if self.nbr_tables is None or (refresh and epoch % refresh == 0) or refresh == 0:
+            t0 = time.perf_counter()
+            self.refresh_neighborhoods()
+            self.log.log("neighborhoods", epoch=epoch,
+                         seconds=time.perf_counter() - t0)
+
+        np_rng = np.random.default_rng(cfg.train.seed + 1000 + epoch)
+        batches = self._epoch_pairs(np_rng)
+        num_hard = (
+            negative.curriculum_num_hard(epoch, cfg.train.max_hard_negatives)
+            if cfg.train.loss == "curriculum" and cfg.train.train_path != "mlp"
+            else 0
+        )
+        nbrs_l = tuple(t[0] for t in self.nbr_tables)
+        w_l = tuple(t[1] for t in self.nbr_tables)
+
+        total_loss = 0.0
+        timer = StepTimer(warmup=1)
+        n_examples = 0
+        for batch in batches:
+            self.rng, k_neg, k_hard, k_drop = jax.random.split(self.rng, 4)
+            q = jnp.asarray(batch[:, 0], jnp.int32)
+            p = jnp.asarray(batch[:, 1], jnp.int32)
+            rand_negs = negative.sample_random_negatives(
+                k_neg, self.data.num_movies,
+                min(cfg.train.num_negative_samples, self.data.num_movies),
+            )
+            hard = None
+            if num_hard > 0:
+                hard = negative.sample_hard_negatives(
+                    self.graph, q, k_hard, num_hard, self.data.num_movies,
+                    num_walks=100, walk_length=cfg.walk.walk_length,
+                    min_rank=cfg.train.hard_neg_min_rank,
+                    max_rank=cfg.train.hard_neg_max_rank,
+                    n_iters=self.n_iters,
+                )
+            with timer:
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state, nbrs_l, w_l,
+                    q, p, rand_negs, hard,
+                    jnp.float32(self.plateau.lr), k_drop,
+                    num_hard=num_hard, epoch_static=epoch,
+                )
+            total_loss += float(loss)
+            n_examples += int(q.shape[0])
+
+        avg_loss = total_loss / max(len(batches), 1)
+        bsz = batches.shape[1]
+        exps = (
+            bsz * len(timer.times) / sum(timer.times)
+            if timer.times else float("nan")
+        )
+        return {
+            "loss": avg_loss,
+            "examples_per_sec": exps,
+            "step_ms_p50": timer.p50 * 1e3 if timer.times else float("nan"),
+            "num_hard": num_hard,
+        }
+
+    # ---- inference / eval -------------------------------------------------
+
+    def movie_embeddings(self, params=None) -> jax.Array:
+        """[num_movies, embed_dim] via the full pooled forward (the
+        get_embeddings equivalent, model/pinsage.py:253-279)."""
+        if self.nbr_tables is None:
+            self.refresh_neighborhoods()
+        params = params if params is not None else self.params
+        nbrs_l = [t[0] for t in self.nbr_tables]
+        w_l = [t[1] for t in self.nbr_tables]
+        emb = pinsage.pooled_forward(
+            params, self.x_table, nbrs_l, w_l,
+            valid_limit=self.valid_limit, dtype=self.compute_dtype,
+            aggregator=self.cfg.model.aggregator_type,
+        )
+        return emb[: self.data.num_movies]
+
+    def evaluate(self, pairs: np.ndarray | None = None, params=None) -> dict[str, float]:
+        pairs = self.test_pairs if pairs is None else pairs
+        emb = self.movie_embeddings(params)
+        return eval_metrics.evaluate_embeddings(
+            emb, pairs, k_values=self.cfg.eval.k_values,
+            mrr_scale=self.cfg.eval.mrr_scale,
+        )
+
+    # ---- checkpoint / resume ----------------------------------------------
+
+    def _ckpt_tree(self):
+        return {
+            "params": self.params,
+            "opt": self.opt_state._asdict(),
+            "rng": self.rng,
+        }
+
+    def save_checkpoint(self, path: str, tag: str = "last") -> None:
+        meta = {
+            "epoch": self.epoch,
+            "best_metric": self.best_metric,
+            "plateau": self.plateau._asdict(),
+            "config": self.cfg.to_dict(),
+            "tag": tag,
+        }
+        ckpt.save_pytree(path, self._ckpt_tree(), meta)
+
+    def load_checkpoint(self, path: str) -> None:
+        tree = ckpt.load_pytree(path, self._ckpt_tree())
+        meta = ckpt.load_meta(path)
+        self.params = tree["params"]
+        self.opt_state = optim.AdamState(**tree["opt"])
+        self.rng = tree["rng"]
+        self.epoch = int(meta["epoch"])
+        self.best_metric = float(meta["best_metric"])
+        self.plateau = optim.PlateauState(**meta["plateau"])
+
+    # ---- main loop --------------------------------------------------------
+
+    def fit(self, resume_from: str | None = None) -> dict[str, Any]:
+        cfg = self.cfg
+        if resume_from and os.path.exists(
+            resume_from if resume_from.endswith(".npz") else resume_from + ".npz"
+        ):
+            self.load_checkpoint(resume_from)
+            self.log.log("resume", epoch=self.epoch)
+
+        stopper = optim.EarlyStopping(cfg.eval.patience)
+        stopper.best = self.best_metric
+        os.makedirs(cfg.paths.checkpoint_dir, exist_ok=True)
+        best_path = os.path.join(cfg.paths.checkpoint_dir, "best_model")
+        last_path = os.path.join(cfg.paths.checkpoint_dir, "last_model")
+        history = []
+
+        start = self.epoch
+        for epoch in range(start, cfg.train.epochs):
+            self.epoch = epoch
+            t0 = time.perf_counter()
+            stats = self.train_epoch(epoch)
+            stats["epoch_seconds"] = time.perf_counter() - t0
+
+            val_metric = None
+            if cfg.eval.eval_every and (epoch + 1) % cfg.eval.eval_every == 0 \
+                    and self.val_pairs.shape[0] > 0:
+                val = self.evaluate(self.val_pairs)
+                val_metric = val["hit_rate@10"]
+                stats.update({f"val_{k}": v for k, v in val.items()})
+
+            self.plateau = optim.plateau_step(
+                self.plateau, stats["loss"],
+                factor=cfg.train.lr_plateau_factor,
+                patience=cfg.train.lr_plateau_patience,
+            )
+            stats["lr"] = self.plateau.lr
+            self.log.log_epoch(epoch, **stats)
+            history.append(stats)
+
+            self.epoch = epoch + 1
+            self.save_checkpoint(last_path, tag="last")
+            if val_metric is not None and val_metric > self.best_metric:
+                self.best_metric = val_metric
+                self.save_checkpoint(best_path, tag="best")
+            if val_metric is not None and stopper.update(val_metric):
+                self.log.log("early_stop", epoch=epoch)
+                break
+
+        return {"history": history, "best_metric": self.best_metric}

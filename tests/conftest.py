@@ -7,12 +7,21 @@ testing recipe.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-override: the ambient environment may point JAX at the real TPU
+# (a sitecustomize registers the 'axon' PJRT plugin and forces
+# JAX_PLATFORMS=axon in every process); unit tests always run on the
+# virtual CPU mesh, so force the platform through jax.config, which wins
+# over both the env var and the plugin registration.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

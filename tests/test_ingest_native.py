@@ -1,0 +1,54 @@
+"""Native CSV ingest extension tests (built with g++ on first use)."""
+
+import numpy as np
+import pytest
+
+from movie_recommendation_engine_tpu.utils import ingest_native
+
+
+@pytest.fixture(scope="module")
+def ratings_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "ratings.csv"
+    p.write_text(
+        "userId,movieId,rating,timestamp\n"
+        "1,296,5.0,1147880044\n"
+        "1,306,3.5,1147868817\n"
+        "2,5952,0.5,1141415528\n"
+    )
+    return str(p)
+
+
+def test_parse_ratings(ratings_csv):
+    try:
+        u, m, r, t = ingest_native.read_ratings_csv(ratings_csv)
+    except (FileNotFoundError, OSError, Exception) as e:
+        pytest.skip(f"native toolchain unavailable: {e}")
+    assert u.tolist() == [1, 1, 2]
+    assert m.tolist() == [296, 306, 5952]
+    np.testing.assert_allclose(r, [5.0, 3.5, 0.5])
+    assert t.tolist() == [1147880044, 1147868817, 1141415528]
+
+
+def test_parse_matches_pandas(ratings_csv):
+    pd = pytest.importorskip("pandas")
+    try:
+        u, m, r, t = ingest_native.read_ratings_csv(ratings_csv)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"native toolchain unavailable: {e}")
+    df = pd.read_csv(ratings_csv)
+    np.testing.assert_array_equal(u, df["userId"].to_numpy(np.int32))
+    np.testing.assert_array_equal(m, df["movieId"].to_numpy(np.int32))
+    np.testing.assert_allclose(r, df["rating"].to_numpy(np.float32))
+    np.testing.assert_array_equal(t, df["timestamp"].to_numpy(np.int64))
+
+
+def test_no_trailing_newline(tmp_path):
+    p = tmp_path / "r.csv"
+    p.write_text("userId,movieId,rating,timestamp\n7,8,4.5,123")
+    try:
+        u, m, r, t = ingest_native.read_ratings_csv(str(p))
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"native toolchain unavailable: {e}")
+    assert u.tolist() == [7] and m.tolist() == [8]
+    np.testing.assert_allclose(r, [4.5])
+    assert t.tolist() == [123]

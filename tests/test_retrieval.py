@@ -1,0 +1,121 @@
+"""Retrieval tests: exact correctness, LSH recall bounds, IVF recall +
+inverted-list integrity, benchmark harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movie_recommendation_engine_tpu.retrieval import bench, exact, ivf, lsh
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    # Clustered corpus so ANN recall is meaningful.
+    centers = rng.standard_normal((10, 32)).astype(np.float32) * 3
+    x = np.concatenate([
+        centers[i] + rng.standard_normal((100, 32)).astype(np.float32)
+        for i in range(10)
+    ])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[::97][:8]
+    return x, q
+
+
+def test_exact_matches_numpy(corpus):
+    x, q = corpus
+    idx = exact.ExactIndex(x.shape[1])
+    idx.build(x)
+    d, i = idx.search(q, k=5)
+    d, i = np.asarray(d), np.asarray(i)
+    # Numpy reference
+    dist = ((q[:, None] - x[None]) ** 2).sum(-1)
+    ref = np.argsort(dist, axis=1)[:, :5]
+    for r in range(q.shape[0]):
+        assert set(i[r]) == set(ref[r])
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+    # Query itself is its own nearest neighbor (distance ~0).
+    assert d[:, 0] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_lsh_pack_bits():
+    signs = jnp.array([[True] + [False] * 31 + [False] * 31 + [True]])
+    packed = lsh._pack_bits(signs)
+    assert packed.shape == (1, 2)
+    assert int(packed[0, 0]) == 1
+    assert int(packed[0, 1]) == 1 << 31
+
+
+def test_lsh_recall(corpus):
+    x, q = corpus
+    index = lsh.LSHIndex(x.shape[1], num_bits=128, num_tables=4, seed=0)
+    index.build(x)
+    d, i = index.search(q, k=10)
+    assert np.asarray(i).shape == (8, 10)
+    # Recall vs exact must beat random chance by a wide margin.
+    ex = exact.ExactIndex(x.shape[1]); ex.build(x)
+    _, ei = ex.search(q, k=10)
+    recall = np.mean([
+        len(set(np.asarray(i)[r]) & set(np.asarray(ei)[r])) / 10
+        for r in range(8)
+    ])
+    assert recall > 0.3  # random chance would be 10/1000 = 0.01
+
+
+def test_lsh_identical_vector_zero_distance(corpus):
+    x, q = corpus
+    index = lsh.LSHIndex(x.shape[1], num_bits=64, num_tables=2)
+    index.build(x)
+    d, i = index.search(x[:3], k=1)
+    assert (np.asarray(d)[:, 0] == 0).all()
+
+
+def test_kmeans_partitions(corpus):
+    x, _ = corpus
+    cent, assign = ivf.kmeans(jnp.asarray(x), jax.random.PRNGKey(0), 10)
+    a = np.asarray(assign)
+    assert a.shape == (1000,)
+    assert len(np.unique(a)) >= 5  # nondegenerate clustering
+
+
+def test_ivf_recall_and_ids(corpus):
+    x, q = corpus
+    index = ivf.WeakANDIndex(x.shape[1], num_partitions=10, nprobe=3)
+    index.build(x)
+    d, i = index.search(q, k=10)
+    i = np.asarray(i)
+    assert ((i >= -1) & (i < 1000)).all()
+    ex = exact.ExactIndex(x.shape[1]); ex.build(x)
+    _, ei = ex.search(q, k=10)
+    recall = np.mean([
+        len(set(i[r][i[r] >= 0]) & set(np.asarray(ei)[r])) / 10 for r in range(8)
+    ])
+    # Probing 3/10 clusters of a well-separated mixture: high recall.
+    assert recall > 0.5
+
+
+def test_ivf_full_probe_equals_exact(corpus):
+    x, q = corpus
+    index = ivf.WeakANDIndex(x.shape[1], num_partitions=5, nprobe=5)
+    index.build(x)
+    _, i = index.search(q, k=5)
+    ex = exact.ExactIndex(x.shape[1]); ex.build(x)
+    _, ei = ex.search(q, k=5)
+    for r in range(q.shape[0]):
+        assert set(np.asarray(i)[r].tolist()) == set(np.asarray(ei)[r].tolist())
+
+
+def test_benchmark_harness(corpus):
+    x, q = corpus
+    from movie_recommendation_engine_tpu import small_test_config
+
+    cfg = small_test_config()
+    cfg.search.ivf_partitions = 10
+    results = bench.benchmark_search_methods(x, q, k=10, cfg=cfg, repeats=1)
+    assert set(results) == {"exact", "lsh", "ivf"}
+    for m, data in results.items():
+        assert data["search_time"] > 0
+        assert data["index_size"] == 1000
+    assert 0.0 <= results["lsh"]["recall"] <= 1.0
+    assert 0.0 <= results["ivf"]["recall"] <= 1.0

@@ -86,22 +86,29 @@ def test_distribution_matches_reference_model(tiny_data):
     node = int(np.argmax(np.diff(csr.indptr)[: data.num_movies]))  # busiest movie
 
     n_iters = rw.search_iters(csr)
+    walks = 1500
+    # num_neighbors large enough to keep every visited node, so the weights
+    # equal the full visit-count distribution and are directly comparable
+    # across independent random streams.
+    k_all = walks * 2
     nbrs, w = rw.sample_neighborhoods(
         g, jnp.array([node], dtype=jnp.int32), jax.random.PRNGKey(2),
-        num_walks=400, walk_length=2, num_neighbors=10, n_iters=n_iters,
+        num_walks=walks, walk_length=2, num_neighbors=k_all, n_iters=n_iters,
     )
     ours = {int(n): float(x) for n, x in zip(np.asarray(nbrs)[0], np.asarray(w)[0]) if x > 0}
 
     ref_rng = np.random.default_rng(3)
-    ref_n, ref_w = rw.numpy_reference_sample(csr, node, 400, 2, 10, ref_rng)
+    ref_n, ref_w = rw.numpy_reference_sample(csr, node, walks, 2, k_all, ref_rng)
     ref = dict(zip(ref_n, ref_w))
 
-    # The two top-10 sets come from independent randomness; compare overlap
-    # and weight mass rather than exact equality.
-    common = set(ours) & set(ref)
-    assert len(common) >= 5
-    for n in common:
-        assert abs(ours[n] - ref[n]) < 0.12
+    # Same sampling law, independent randomness: distributions must agree.
+    all_nodes = set(ours) | set(ref)
+    tv = 0.5 * sum(abs(ours.get(n, 0.0) - ref.get(n, 0.0)) for n in all_nodes)
+    assert tv < 0.15, f"total-variation distance {tv:.3f} too large"
+    # The heavy hitters must coincide.
+    top_ours = {n for n, _ in sorted(ours.items(), key=lambda x: -x[1])[:3]}
+    top_ref = {n for n, _ in sorted(ref.items(), key=lambda x: -x[1])[:3]}
+    assert top_ours & top_ref
 
 
 def test_all_node_neighborhoods_shapes(tiny_data):

@@ -1,0 +1,176 @@
+"""Optimizer, metrics, checkpoint and end-to-end trainer tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movie_recommendation_engine_tpu.core import checkpoint as ckpt
+from movie_recommendation_engine_tpu.evaluation import metrics
+from movie_recommendation_engine_tpu.train import optim
+
+
+def test_adam_matches_torch_single_step():
+    """One Adam step on a quadratic must match torch.optim.Adam."""
+    torch = pytest.importorskip("torch")
+
+    w0 = np.array([1.0, -2.0, 3.0], dtype=np.float32)
+    g = np.array([0.5, -1.0, 2.0], dtype=np.float32)
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.Adam([tw], lr=0.01)
+    tw.grad = torch.tensor(g)
+    opt.step()
+
+    params = {"w": jnp.asarray(w0)}
+    state = optim.adam_init(params)
+    new_params, _ = optim.adam_update({"w": jnp.asarray(g)}, state, params, 0.01)
+    np.testing.assert_allclose(np.asarray(new_params["w"]), tw.detach().numpy(), atol=1e-6)
+
+
+def test_adam_converges_quadratic():
+    params = {"w": jnp.array([5.0, -5.0])}
+    state = optim.adam_init(params)
+    for _ in range(500):
+        g = {"w": 2 * params["w"]}
+        params, state = optim.adam_update(g, state, params, 0.05)
+    np.testing.assert_allclose(np.asarray(params["w"]), 0.0, atol=1e-2)
+
+
+def test_plateau_schedule():
+    s = optim.plateau_init(1.0)
+    s = optim.plateau_step(s, 0.5)          # improves
+    assert s.lr == 1.0 and s.num_bad == 0
+    s = optim.plateau_step(s, 0.6)          # bad 1
+    s = optim.plateau_step(s, 0.6)          # bad 2
+    assert s.lr == 1.0
+    s = optim.plateau_step(s, 0.6)          # bad 3 > patience 2 -> halve
+    assert s.lr == 0.5 and s.num_bad == 0
+
+
+def test_early_stopping():
+    es = optim.EarlyStopping(patience=2)
+    assert not es.update(0.5)
+    assert not es.update(0.4)
+    assert es.update(0.3)
+
+
+def test_metrics_hand_computed():
+    # 4 items on a line; embeddings chosen so similarities are unambiguous.
+    emb = jnp.array([
+        [1.0, 0.0],
+        [0.9, 0.1],
+        [0.0, 1.0],
+        [-1.0, 0.0],
+    ])
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    pairs = np.array([[0, 1], [0, 3]])
+    out = metrics.evaluate_embeddings(emb, pairs, k_values=(1, 2, 4), mrr_scale=100.0)
+    # For query 0: sims to [0,1,2,3] = [1, .995, 0, -1]; gt=1 -> rank 2;
+    # gt=3 -> rank 4.
+    assert out["hit_rate@1"] == 0.0
+    assert out["hit_rate@2"] == 0.5
+    assert out["hit_rate@4"] == 1.0
+    assert out["mrr"] == pytest.approx((100 / 2 + 100 / 4) / 2)
+    assert out["mrr_standard"] == pytest.approx((1 / 2 + 1 / 4) / 2)
+
+
+def test_metrics_bounds_filtering():
+    emb = jnp.eye(3)
+    pairs = np.array([[0, 1], [5, 1], [0, 9]])
+    out = metrics.evaluate_embeddings(emb, pairs, k_values=(1,))
+    assert out["num_pairs"] == 1
+
+
+def test_recommend_excludes_query():
+    emb = jnp.eye(4)
+    scores, idx = metrics.recommend(emb, jnp.array([0], dtype=jnp.int32), k=3)
+    assert 0 not in np.asarray(idx)[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "nested": [{"b": jnp.ones((4,))}, {"b": jnp.zeros((4,))}],
+    }
+    path = str(tmp_path / "ck")
+    ckpt.save_pytree(path, tree, {"epoch": 3})
+    like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    loaded = ckpt.load_pytree(path, like)
+    np.testing.assert_allclose(np.asarray(loaded["a"]), np.asarray(tree["a"]))
+    np.testing.assert_allclose(np.asarray(loaded["nested"][0]["b"]), 1.0)
+    assert ckpt.load_meta(path)["epoch"] == 3
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory, request):
+    from movie_recommendation_engine_tpu import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    tmp = tmp_path_factory.mktemp("train")
+    cfg = small_test_config()
+    cfg.train.epochs = 3
+    cfg.paths.checkpoint_dir = str(tmp / "ckpt")
+    cfg.paths.output_dir = str(tmp / "out")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data)
+    result = tr.fit()
+    return cfg, data, tr, result
+
+
+def test_trainer_end_to_end(trained):
+    cfg, data, tr, result = trained
+    assert len(result["history"]) == 3
+    losses_seq = [h["loss"] for h in result["history"]]
+    assert all(np.isfinite(l) for l in losses_seq)
+    # Loss should decrease from first to last epoch on this easy problem.
+    assert losses_seq[-1] < losses_seq[0] + 0.5
+
+
+def test_trainer_embeddings_and_eval(trained):
+    cfg, data, tr, result = trained
+    emb = tr.movie_embeddings()
+    assert emb.shape == (data.num_movies, cfg.model.embed_dim)
+    norms = np.linalg.norm(np.asarray(emb), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    out = tr.evaluate()
+    assert 0.0 <= out["hit_rate@10"] <= 1.0
+    # Trained embeddings must beat random chance at HR@50 on the tiny set.
+    assert out["hit_rate@50"] > 50 / data.num_movies / 2
+
+
+def test_trainer_checkpoint_resume(trained):
+    cfg, data, tr, result = trained
+    last = os.path.join(cfg.paths.checkpoint_dir, "last_model")
+    assert os.path.exists(last + ".npz")
+
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    tr2 = Trainer(cfg, data)
+    tr2.load_checkpoint(last)
+    assert tr2.epoch == tr.epoch
+    np.testing.assert_allclose(
+        np.asarray(tr2.params["output_proj"]["w"]),
+        np.asarray(tr.params["output_proj"]["w"]),
+    )
+    # Optimizer moments restored (true resume; reference never restores them).
+    assert int(tr2.opt_state.step) == int(tr.opt_state.step)
+
+
+def test_trainer_mlp_path(tmp_path):
+    """The reference's shipped simplified loop (train.py:72-78) still works."""
+    from movie_recommendation_engine_tpu import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = small_test_config()
+    cfg.train.train_path = "mlp"
+    cfg.train.epochs = 1
+    cfg.paths.checkpoint_dir = str(tmp_path / "ckpt")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data)
+    out = tr.fit()
+    assert np.isfinite(out["history"][0]["loss"])
