@@ -38,7 +38,7 @@ class LSHIndex:
     (utils/nearest_neighbors.py:7-68)."""
 
     def __init__(self, dim: int, num_bits: int = 256, num_tables: int = 16,
-                 seed: int = 0):
+                 seed: int = 0, use_pallas: bool | None = None):
         if num_bits % 32:
             raise ValueError("num_bits must be a multiple of 32")
         self.dim = dim
@@ -49,6 +49,9 @@ class LSHIndex:
         self.planes = jax.random.normal(
             key, (num_tables, dim, num_bits), dtype=jnp.float32
         )
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
         self._sigs: jax.Array | None = None
 
     @property
@@ -68,6 +71,15 @@ class LSHIndex:
     def search(self, queries, k: int = 10):
         q = jnp.asarray(queries, dtype=jnp.float32)
         qsig = self._signatures(q)
+        if self.use_pallas:
+            from ..ops.pallas.hamming import hamming_topk
+
+            t, w = self.num_tables, self.num_bits // 32
+            return hamming_topk(
+                qsig.reshape(qsig.shape[0], t * w),
+                self._sigs.reshape(self._sigs.shape[0], t * w),
+                k, num_tables=t, words=w,
+            )
         return _hamming_topk(qsig, self._sigs, k)
 
 

@@ -1,0 +1,102 @@
+"""Approximate Personalized PageRank neighborhoods (batched power iteration).
+
+Device-native equivalent of the reference's push-style PPR
+(``utils/random_walk.py:144-228`` — compute_ppr_matrix +
+precompute_top_neighbors; dead code in the reference pipeline, kept for
+capability parity, SURVEY.md §2 row 8). The per-source Python push loop
+becomes a batched dense-frontier power iteration:
+
+    ppr_{k+1} = ppr_k + alpha * r_k;   r_{k+1} = (1 - alpha) * r_k @ P
+
+with P the row-normalized weighted adjacency applied edge-wise via
+``segment_sum`` (no N x N matrix). Memory is O(B * N) for the frontier plus
+O(B * E) transient for edge messages — size batches accordingly (this is a
+precompute, not a training-step op).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import CSRGraph
+from .random_walk import DeviceGraph
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "num_iterations", "alpha"))
+def ppr_scores(
+    graph: DeviceGraph,
+    sources: jax.Array,      # [B] int32
+    num_nodes: int,
+    alpha: float = 0.15,
+    num_iterations: int = 10,
+) -> jax.Array:
+    """[B, num_nodes] approximate PPR mass per source."""
+    b = sources.shape[0]
+    # Per-edge row-normalized weights.
+    src_of_edge = jnp.repeat(
+        jnp.arange(num_nodes, dtype=jnp.int32),
+        jnp.diff(graph.indptr),
+        total_repeat_length=graph.indices.shape[0],
+    )
+    row_sum = jax.ops.segment_sum(graph.weights, src_of_edge, num_segments=num_nodes)
+    wnorm = graph.weights / jnp.maximum(jnp.take(row_sum, src_of_edge), 1e-12)
+    # Dangling nodes keep their residual (the reference only pushes when a
+    # node has neighbors, random_walk.py:180-185 — the mass parks there and
+    # keeps accruing ppr via the teleport term).
+    has_out = jnp.take(row_sum, src_of_edge) > 0
+
+    r = jax.nn.one_hot(sources, num_nodes, dtype=jnp.float32)   # residual
+    ppr = jnp.zeros_like(r)
+
+    def body(_, state):
+        ppr, r = state
+        ppr = ppr + alpha * r
+        msg = r[:, src_of_edge] * wnorm[None, :]                 # [B, E]
+        pushed = jax.vmap(
+            lambda m: jax.ops.segment_sum(m, graph.indices, num_segments=num_nodes)
+        )(msg)
+        dangling_mass = jnp.where(
+            row_sum[None, :] > 0, 0.0, r
+        )
+        r = (1.0 - alpha) * pushed + dangling_mass
+        return ppr, r
+
+    ppr, r = jax.lax.fori_loop(0, num_iterations, body, (ppr, r))
+    return ppr
+
+
+def precompute_top_neighbors(
+    csr: CSRGraph,
+    graph: DeviceGraph,
+    nodes: np.ndarray,
+    num_neighbors: int = 10,
+    alpha: float = 0.15,
+    num_iterations: int = 10,
+    batch: int = 8,
+) -> dict[int, tuple[list[int], list[float]]]:
+    """Top-``num_neighbors`` nodes by PPR score with normalized weights,
+    mirroring ``precompute_top_neighbors`` (utils/random_walk.py:197-228)."""
+    out: dict[int, tuple[list[int], list[float]]] = {}
+    nodes = np.asarray(nodes, dtype=np.int32)
+    n = csr.num_nodes
+    for i in range(0, nodes.shape[0], batch):
+        chunk = nodes[i : i + batch]
+        scores = ppr_scores(
+            graph, jnp.asarray(chunk), n, alpha=alpha,
+            num_iterations=num_iterations,
+        )
+        top_scores, top_idx = jax.lax.top_k(scores, min(num_neighbors, n))
+        top_scores = np.asarray(top_scores)
+        top_idx = np.asarray(top_idx)
+        for row, src in enumerate(chunk):
+            s = top_scores[row]
+            keep = s > 0
+            s, idx = s[keep], top_idx[row][keep]
+            tot = s.sum()
+            w = (s / tot).tolist() if tot > 0 else []
+            out[int(src)] = (idx.tolist(), w)
+    return out

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..config import Config
 from ..core import checkpoint as ckpt
-from ..core.logging import MetricsLogger, StepTimer
+from ..core.logging import MetricsLogger
 from ..evaluation import metrics as eval_metrics
 from ..graph import features as feat_mod
 from ..graph.dataset import MovieLensData
@@ -132,6 +132,8 @@ class Trainer:
         self.best_metric = -float("inf")
         self.nbr_tables: list[tuple[jax.Array, jax.Array]] | None = None
         self.compute_dtype = _dtype(cfg.train.compute_dtype)
+        # Steps scanned per device dispatch (see _run_steps).
+        self.steps_per_call = 8
 
         self.log.log(
             "init",
@@ -161,64 +163,101 @@ class Trainer:
         self.nbr_tables = tables
 
     # ---- train step -------------------------------------------------------
+    #
+    # The whole inner loop — negative sampling (random + hard-negative walks),
+    # forward, loss, grads, Adam — lives inside ONE jitted program that scans
+    # over a block of steps. One dispatch per block instead of 3+ per step:
+    # host/device round-trips (expensive over the TPU tunnel) amortize away,
+    # and params/opt-state buffers are donated across the scan.
 
-    @partial(jax.jit, static_argnames=("self", "num_hard", "epoch_static"))
-    def _step(
+    @partial(
+        jax.jit,
+        static_argnames=("self", "num_hard", "epoch_static"),
+        donate_argnames=("params", "opt_state"),
+    )
+    def _run_steps(
         self,
         params,
         opt_state,
         nbrs_l: tuple,
         w_l: tuple,
-        q: jax.Array,
-        p: jax.Array,
-        rand_negs: jax.Array,
-        hard_negs: jax.Array | None,
+        q_blk: jax.Array,      # [S, B] int32
+        p_blk: jax.Array,      # [S, B] int32
+        key: jax.Array,
         lr: jax.Array,
-        dropout_key: jax.Array,
         num_hard: int,
         epoch_static: int,
     ):
         cfg = self.cfg
-        b = q.shape[0]
-        r = rand_negs.shape[0]
+        num_rand = min(cfg.train.num_negative_samples, self.data.num_movies)
 
-        def loss_fn(params):
-            nodes = [q, p, rand_negs]
+        def one_step(carry, inputs):
+            params, opt_state = carry
+            q, p, k = inputs
+            k_neg, k_hard, k_drop = jax.random.split(k, 3)
+            b = q.shape[0]
+
+            rand_negs = jax.random.choice(
+                k_neg, self.data.num_movies, shape=(num_rand,), replace=False
+            ).astype(jnp.int32)
             if num_hard > 0:
-                nodes.append(hard_negs.reshape(-1))
-            all_nodes = jnp.concatenate(nodes)
-            if cfg.train.train_path == "mlp":
-                x = jnp.take(self.x_table, all_nodes, axis=0)
-                emb = pinsage.mlp_forward(params, x, self.compute_dtype)
+                hard_negs = negative.sample_hard_negatives(
+                    self.graph, q, k_hard, num_hard, self.data.num_movies,
+                    num_walks=100, walk_length=cfg.walk.walk_length,
+                    min_rank=cfg.train.hard_neg_min_rank,
+                    max_rank=cfg.train.hard_neg_max_rank,
+                    n_iters=self.n_iters,
+                )
             else:
-                emb = pinsage.pooled_forward_batch(
-                    params, self.x_table, list(nbrs_l), list(w_l), all_nodes,
-                    valid_limit=self.valid_limit, dtype=self.compute_dtype,
-                    dropout_rate=cfg.model.dropout, dropout_rng=dropout_key,
-                    aggregator=cfg.model.aggregator_type,
-                )
-            q_emb, p_emb = emb[:b], emb[b : 2 * b]
-            r_emb = emb[2 * b : 2 * b + r]
-            h_emb = emb[2 * b + r :].reshape(b, num_hard, -1) if num_hard > 0 else None
+                hard_negs = None
 
-            kind = cfg.train.loss if cfg.train.train_path != "mlp" else "cosine"
-            if kind == "cosine":
-                return losses.cosine_objective(q_emb, p_emb)
-            if kind == "batch_hard":
-                return losses.batch_hard_triplet_loss(q_emb, p_emb, cfg.train.margin)
-            if kind == "max_margin":
-                return losses.shared_pool_max_margin_loss(
-                    q_emb, p_emb, r_emb, cfg.train.margin
+            def loss_fn(params):
+                nodes = [q, p, rand_negs]
+                if num_hard > 0:
+                    nodes.append(hard_negs.reshape(-1))
+                all_nodes = jnp.concatenate(nodes)
+                if cfg.train.train_path == "mlp":
+                    x = jnp.take(self.x_table, all_nodes, axis=0)
+                    emb = pinsage.mlp_forward(params, x, self.compute_dtype)
+                else:
+                    emb = pinsage.pooled_forward_batch(
+                        params, self.x_table, list(nbrs_l), list(w_l), all_nodes,
+                        valid_limit=self.valid_limit, dtype=self.compute_dtype,
+                        dropout_rate=cfg.model.dropout, dropout_rng=k_drop,
+                        aggregator=cfg.model.aggregator_type,
+                    )
+                q_emb, p_emb = emb[:b], emb[b : 2 * b]
+                r_emb = emb[2 * b : 2 * b + num_rand]
+                h_emb = (
+                    emb[2 * b + num_rand :].reshape(b, num_hard, -1)
+                    if num_hard > 0 else None
                 )
-            return losses.curriculum_loss(
-                q_emb, p_emb, r_emb, h_emb, epoch_static,
-                margin=cfg.train.margin, max_epochs=cfg.train.epochs,
-                hard_negative_factor=cfg.train.hard_neg_factor,
-            )
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt_state = optim.adam_update(grads, opt_state, params, lr)
-        return params, opt_state, loss
+                kind = cfg.train.loss if cfg.train.train_path != "mlp" else "cosine"
+                if kind == "cosine":
+                    return losses.cosine_objective(q_emb, p_emb)
+                if kind == "batch_hard":
+                    return losses.batch_hard_triplet_loss(q_emb, p_emb, cfg.train.margin)
+                if kind == "max_margin":
+                    return losses.shared_pool_max_margin_loss(
+                        q_emb, p_emb, r_emb, cfg.train.margin
+                    )
+                return losses.curriculum_loss(
+                    q_emb, p_emb, r_emb, h_emb, epoch_static,
+                    margin=cfg.train.margin, max_epochs=cfg.train.epochs,
+                    hard_negative_factor=cfg.train.hard_neg_factor,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params, opt_state = optim.adam_update(grads, opt_state, params, lr)
+            return (params, opt_state), loss
+
+        s = q_blk.shape[0]
+        keys = jax.random.split(key, s)
+        (params, opt_state), step_losses = jax.lax.scan(
+            one_step, (params, opt_state), (q_blk, p_blk, keys)
+        )
+        return params, opt_state, step_losses
 
     # ---- epoch driver -----------------------------------------------------
 
@@ -257,46 +296,49 @@ class Trainer:
         nbrs_l = tuple(t[0] for t in self.nbr_tables)
         w_l = tuple(t[1] for t in self.nbr_tables)
 
-        total_loss = 0.0
-        timer = StepTimer(warmup=1)
-        n_examples = 0
-        for batch in batches:
-            self.rng, k_neg, k_hard, k_drop = jax.random.split(self.rng, 4)
-            q = jnp.asarray(batch[:, 0], jnp.int32)
-            p = jnp.asarray(batch[:, 1], jnp.int32)
-            rand_negs = negative.sample_random_negatives(
-                k_neg, self.data.num_movies,
-                min(cfg.train.num_negative_samples, self.data.num_movies),
-            )
-            hard = None
-            if num_hard > 0:
-                hard = negative.sample_hard_negatives(
-                    self.graph, q, k_hard, num_hard, self.data.num_movies,
-                    num_walks=100, walk_length=cfg.walk.walk_length,
-                    min_rank=cfg.train.hard_neg_min_rank,
-                    max_rank=cfg.train.hard_neg_max_rank,
-                    n_iters=self.n_iters,
-                )
-            with timer:
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state, nbrs_l, w_l,
-                    q, p, rand_negs, hard,
-                    jnp.float32(self.plateau.lr), k_drop,
-                    num_hard=num_hard, epoch_static=epoch,
-                )
-            total_loss += float(loss)
-            n_examples += int(q.shape[0])
+        # Steps are scanned in fixed-size blocks inside one jitted program;
+        # pad the step count up to a whole number of blocks (wrap-around)
+        # so only 1-2 program shapes ever compile.
+        s_total = batches.shape[0]
+        block = min(self.steps_per_call, s_total)
+        pad_steps = (-s_total) % block
+        if pad_steps:
+            batches = np.concatenate([batches, batches[:pad_steps]], axis=0)
+        q_all = jnp.asarray(batches[:, :, 0], jnp.int32)
+        p_all = jnp.asarray(batches[:, :, 1], jnp.int32)
 
-        avg_loss = total_loss / max(len(batches), 1)
-        bsz = batches.shape[1]
+        losses_dev = []
+        t0 = time.perf_counter()
+        t_after_first = None
+        for s0 in range(0, batches.shape[0], block):
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.opt_state, step_losses = self._run_steps(
+                self.params, self.opt_state, nbrs_l, w_l,
+                q_all[s0 : s0 + block], p_all[s0 : s0 + block],
+                k, jnp.float32(self.plateau.lr),
+                num_hard=num_hard, epoch_static=epoch,
+            )
+            losses_dev.append(step_losses)
+            if t_after_first is None:
+                jax.block_until_ready(step_losses)   # absorb compile
+                t_after_first = time.perf_counter()
+        jax.block_until_ready(losses_dev[-1])
+        t_end = time.perf_counter()
+
+        all_losses = np.concatenate([np.asarray(l) for l in losses_dev])[:s_total]
+        bsz = int(batches.shape[1])
+        n_timed_steps = batches.shape[0] - block
+        timed_s = t_end - t_after_first
         exps = (
-            bsz * len(timer.times) / sum(timer.times)
-            if timer.times else float("nan")
+            bsz * n_timed_steps / timed_s if n_timed_steps and timed_s > 0
+            else bsz * block / max(t_after_first - t0, 1e-9)
         )
         return {
-            "loss": avg_loss,
+            "loss": float(all_losses.mean()),
             "examples_per_sec": exps,
-            "step_ms_p50": timer.p50 * 1e3 if timer.times else float("nan"),
+            "step_ms_p50": (
+                timed_s / n_timed_steps * 1e3 if n_timed_steps else float("nan")
+            ),
             "num_hard": num_hard,
         }
 

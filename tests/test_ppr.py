@@ -1,0 +1,55 @@
+"""PPR sampler tests: conservation, known-graph values, top-neighbor API."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from movie_recommendation_engine_tpu.graph.csr import csr_from_edge_index
+from movie_recommendation_engine_tpu.sampling import ppr
+from movie_recommendation_engine_tpu.sampling.random_walk import device_graph
+
+
+def test_ppr_two_node_cycle():
+    # 0 <-> 1. Analytic PPR from 0 with alpha, T iterations:
+    # mass alternates between the two nodes.
+    ei = np.array([[0, 1], [1, 0]])
+    csr = csr_from_edge_index(ei, None, num_nodes=2)
+    g = device_graph(csr)
+    alpha = 0.15
+    iters = 30
+    scores = np.asarray(
+        ppr.ppr_scores(g, jnp.array([0], jnp.int32), 2, alpha=alpha,
+                       num_iterations=iters)
+    )[0]
+    # Closed form: ppr0 = alpha * sum_k even (1-a)^k, ppr1 = alpha * sum odd.
+    beta = 1 - alpha
+    ppr0 = alpha * sum(beta ** k for k in range(0, iters, 2))
+    ppr1 = alpha * sum(beta ** k for k in range(1, iters, 2))
+    np.testing.assert_allclose(scores, [ppr0, ppr1], atol=1e-5)
+    # Total mass converges to 1 as iterations grow.
+    assert abs(scores.sum() - (1 - beta ** iters)) < 1e-5
+
+
+def test_ppr_respects_weights():
+    # 0 -> 1 (w=3), 0 -> 2 (w=1): one iteration pushes 3:1.
+    ei = np.array([[0, 0], [1, 2]])
+    w = np.array([3.0, 1.0], dtype=np.float32)
+    csr = csr_from_edge_index(ei, w, num_nodes=3)
+    g = device_graph(csr)
+    scores = np.asarray(
+        ppr.ppr_scores(g, jnp.array([0], jnp.int32), 3, alpha=0.15,
+                       num_iterations=2)
+    )[0]
+    assert scores[1] / scores[2] == np.float32(3.0)
+
+
+def test_precompute_top_neighbors():
+    ei = np.array([[0, 0, 1, 2], [1, 2, 0, 0]])
+    w = np.array([3.0, 1.0, 1.0, 1.0], dtype=np.float32)
+    csr = csr_from_edge_index(ei, w, num_nodes=3)
+    g = device_graph(csr)
+    top = ppr.precompute_top_neighbors(csr, g, np.array([0]), num_neighbors=2)
+    nbrs, weights = top[0]
+    assert len(nbrs) == 2
+    np.testing.assert_allclose(sum(weights), 1.0, atol=1e-5)
+    # Source itself carries the most PPR mass (teleport term).
+    assert nbrs[0] == 0
