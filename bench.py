@@ -185,6 +185,63 @@ def bench_torch_baseline(x, nbrs, weights, rng, steps=6):
     return BATCH * steps / dt
 
 
+def bench_lsh_retrieval(rng, num_items=62_000, dim=128, bits=256, tables=16,
+                        batch=256, repeats=5):
+    """LSH retrieval latency over an ML-25M-scale item corpus (secondary
+    headline metric: sub-ms p50 per query, BASELINE.md)."""
+    import jax
+
+    from movie_recommendation_engine_tpu.retrieval.lsh import LSHIndex
+
+    emb = rng.standard_normal((num_items, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    index = LSHIndex(dim, num_bits=bits, num_tables=tables)
+    index.build(emb)
+    q = emb[rng.choice(num_items, batch, replace=False)]
+    d, i = index.search(q, k=10)
+    jax.block_until_ready((d, i))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        d, i = index.search(q, k=10)
+        jax.block_until_ready((d, i))
+        times.append(time.perf_counter() - t0)
+    per_query_ms = min(times) / batch * 1e3
+    return per_query_ms
+
+
+def bench_walk_sampling(rng, num_nodes=200_000, avg_deg=60, batch=4096,
+                        num_walks=100, walk_length=2, repeats=3):
+    """On-device random-walk sampling throughput (the reference's hottest
+    loop, SURVEY.md §3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from movie_recommendation_engine_tpu.graph.csr import csr_from_edge_index
+    from movie_recommendation_engine_tpu.sampling import random_walk as rw
+
+    e = num_nodes * avg_deg
+    src = rng.integers(0, num_nodes, e)
+    dst = rng.integers(0, num_nodes, e)
+    w = rng.random(e).astype(np.float32) + 0.1
+    csr = csr_from_edge_index(np.stack([src, dst]), w, num_nodes=num_nodes)
+    g = rw.device_graph(csr)
+    n_iters = rw.search_iters(csr)
+    nodes = jnp.asarray(rng.integers(0, num_nodes, batch), jnp.int32)
+    nb, wt = rw.sample_neighborhoods(g, nodes, jax.random.PRNGKey(0),
+                                     num_walks, walk_length, 50, n_iters)
+    jax.block_until_ready((nb, wt))
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        nb, wt = rw.sample_neighborhoods(g, nodes, jax.random.PRNGKey(r + 1),
+                                         num_walks, walk_length, 50, n_iters)
+        jax.block_until_ready((nb, wt))
+        times.append(time.perf_counter() - t0)
+    nodes_per_sec = batch / min(times)
+    return nodes_per_sec
+
+
 def main():
     x, nbrs, weights, rng = _setup_numpy()
     print("benchmarking torch CPU baseline ...", file=sys.stderr)
@@ -194,6 +251,25 @@ def main():
     print("benchmarking TPU train step ...", file=sys.stderr)
     ours, loss = bench_tpu(x, nbrs, weights, np.random.default_rng(1))
     print(f"tpu: {ours:.1f} examples/s (loss {loss:.4f})", file=sys.stderr)
+
+    try:
+        lsh_ms = bench_lsh_retrieval(np.random.default_rng(2))
+        print(json.dumps({
+            "metric": "lsh_retrieval_p50_per_query",
+            "value": round(lsh_ms, 4), "unit": "ms",
+        }), file=sys.stderr)
+    except Exception as e:  # secondary metric must not sink the primary
+        print(f"lsh bench failed: {e}", file=sys.stderr)
+        lsh_ms = None
+
+    try:
+        walk_nps = bench_walk_sampling(np.random.default_rng(3))
+        print(json.dumps({
+            "metric": "walk_sampling_nodes_per_sec",
+            "value": round(walk_nps, 1), "unit": "nodes/s",
+        }), file=sys.stderr)
+    except Exception as e:
+        print(f"walk bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pinsage_train_examples_per_sec_per_chip",

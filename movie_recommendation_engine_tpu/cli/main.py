@@ -70,7 +70,13 @@ def cmd_evaluate(cfg: Config, args) -> int:
     logger = MetricsLogger()
     tr = _make_trainer(cfg, logger)
     path = args.checkpoint or os.path.join(cfg.paths.checkpoint_dir, "best_model")
-    if os.path.exists(path + ".npz"):
+    if path.endswith(".pt") and os.path.exists(path):
+        # Reference PyTorch checkpoint (train.py:102-112 format).
+        from ..utils.torch_import import load_torch_checkpoint
+
+        tr.params, meta = load_torch_checkpoint(path)
+        logger.log("loaded_torch_checkpoint", path=path, **meta)
+    elif os.path.exists(path + ".npz"):
         tr.load_checkpoint(path)
         logger.log("loaded_checkpoint", path=path)
     results = tr.evaluate()

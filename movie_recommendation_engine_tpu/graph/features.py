@@ -190,6 +190,42 @@ def extract_movie_features(
     return combined
 
 
+def simple_movie_features(
+    titles: list[str],
+    genres: list[str],
+    feature_dim: int = 128,
+    seed: int = 0,
+) -> np.ndarray:
+    """The dataset-internal simple variant (data/dataset.py:125-170):
+    genre one-hot (unweighted) + per-year dummy columns, projected to
+    ``feature_dim`` by a random (untrained) linear map when wider — matching
+    the reference's untrained nn.Linear projection at data/dataset.py:161-164.
+    """
+    g, _ = genre_onehot(genres, weight=1.0)
+    years = []
+    for t in titles:
+        m = _YEAR_RE.search(t.strip())
+        years.append(m.group(1) if m else "")
+    uniq = sorted({y for y in years if y})
+    col = {y: i for i, y in enumerate(uniq)}
+    yd = np.zeros((len(titles), len(uniq)), dtype=np.float32)
+    for r, y in enumerate(years):
+        if y:
+            yd[r, col[y]] = 1.0
+    combined = np.hstack([g, yd]).astype(np.float32) if g.size else yd
+    if feature_dim < combined.shape[1]:
+        rng = np.random.default_rng(seed)
+        fan_in = combined.shape[1]
+        bound = 1.0 / np.sqrt(fan_in)
+        w = rng.uniform(-bound, bound, (fan_in, feature_dim)).astype(np.float32)
+        b = rng.uniform(-bound, bound, feature_dim).astype(np.float32)
+        return combined @ w + b
+    if feature_dim > combined.shape[1]:
+        pad = np.zeros((combined.shape[0], feature_dim - combined.shape[1]), np.float32)
+        combined = np.hstack([combined, pad])
+    return combined
+
+
 def create_visual_features(num_movies: int, feature_dim: int = 128, seed: int = 0) -> np.ndarray:
     """Random unit-norm placeholder visual features
     (feature_extractor.py:200-220)."""

@@ -66,6 +66,7 @@ def init_params(
     embed_dim: int,
     num_layers: int = 2,
     aggregator: str = "importance",
+    use_batch_norm: bool = False,
 ) -> Params:
     """Mirrors PinSage.__init__ (model/pinsage.py:155-184): input_proj,
     ``num_layers`` GraphConv blocks (lin_self / lin_neigh / lin_update), and
@@ -88,6 +89,13 @@ def init_params(
         agg_p = aggregators.init_aggregator_params(ck[3], aggregator, hidden_dim, hidden_dim)
         if agg_p is not None:
             conv["agg"] = agg_p
+        if use_batch_norm:
+            # Honors the USE_BATCH_NORM knob (reference config.py:25, applied
+            # in the alternate GraphConvLayer, model/layers.py:29,67-69).
+            conv["bn"] = {
+                "scale": jnp.ones((hidden_dim,)),
+                "bias": jnp.zeros((hidden_dim,)),
+            }
         params["convs"].append(conv)
     return params
 
@@ -145,11 +153,18 @@ def _conv_block(
     h_neigh: jax.Array,
     dtype,
 ) -> jax.Array:
-    """concat(lin_self(h), pooled) -> lin_update -> ReLU -> L2-norm
-    (model/pinsage.py:234-240)."""
+    """concat(lin_self(h), pooled) -> lin_update [-> BN] -> ReLU -> L2-norm
+    (model/pinsage.py:234-240; BN order per model/layers.py:65-72 when the
+    USE_BATCH_NORM knob added a "bn" leaf at init)."""
     h_self = linear(conv["self"], h_self_in, dtype)
     h_cat = jnp.concatenate([h_self, h_neigh], axis=-1)
-    h = jax.nn.relu(linear(conv["update"], h_cat, dtype))
+    h = linear(conv["update"], h_cat, dtype)
+    if "bn" in conv and h.shape[0] > 1:
+        mean = h.mean(axis=0, keepdims=True)
+        var = h.var(axis=0, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = h * conv["bn"]["scale"] + conv["bn"]["bias"]
+    h = jax.nn.relu(h)
     return l2_normalize(h)
 
 

@@ -50,7 +50,15 @@ class LSHIndex:
             key, (num_tables, dim, num_bits), dtype=jnp.float32
         )
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            import os
+
+            if os.environ.get("MRE_USE_PALLAS"):
+                use_pallas = os.environ["MRE_USE_PALLAS"] == "1"
+            else:
+                # Default on for real TPU backends; off for CPU and for the
+                # experimental 'axon' tunnel backend, whose remote-compile
+                # path cannot build Mosaic kernels (hangs).
+                use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self._sigs: jax.Array | None = None
 

@@ -124,6 +124,7 @@ class Trainer:
         self.params = pinsage.init_params(
             pkey, cfg.features.feature_dim, cfg.model.hidden_dim,
             cfg.model.embed_dim, cfg.model.num_layers, cfg.model.aggregator_type,
+            use_batch_norm=cfg.model.use_batch_norm,
         )
         self.opt_state = optim.adam_init(self.params)
         self.plateau = optim.plateau_init(cfg.train.learning_rate)
@@ -344,24 +345,40 @@ class Trainer:
 
     # ---- inference / eval -------------------------------------------------
 
-    def movie_embeddings(self, params=None) -> jax.Array:
-        """[num_movies, embed_dim] via the full pooled forward (the
-        get_embeddings equivalent, model/pinsage.py:253-279)."""
-        if self.nbr_tables is None:
-            self.refresh_neighborhoods()
-        params = params if params is not None else self.params
-        nbrs_l = [t[0] for t in self.nbr_tables]
-        w_l = [t[1] for t in self.nbr_tables]
+    @partial(jax.jit, static_argnames=("self",))
+    def _embed_all(self, params, nbrs_l: tuple, w_l: tuple) -> jax.Array:
         emb = pinsage.pooled_forward(
-            params, self.x_table, nbrs_l, w_l,
+            params, self.x_table, list(nbrs_l), list(w_l),
             valid_limit=self.valid_limit, dtype=self.compute_dtype,
             aggregator=self.cfg.model.aggregator_type,
         )
         return emb[: self.data.num_movies]
 
+    def movie_embeddings(self, params=None) -> jax.Array:
+        """[num_movies, embed_dim] via the full pooled forward (the
+        get_embeddings equivalent, model/pinsage.py:253-279). One jitted
+        program over the whole corpus."""
+        if self.nbr_tables is None:
+            self.refresh_neighborhoods()
+        params = params if params is not None else self.params
+        nbrs_l = tuple(t[0] for t in self.nbr_tables)
+        w_l = tuple(t[1] for t in self.nbr_tables)
+        return self._embed_all(params, nbrs_l, w_l)
+
     def evaluate(self, pairs: np.ndarray | None = None, params=None) -> dict[str, float]:
         pairs = self.test_pairs if pairs is None else pairs
         emb = self.movie_embeddings(params)
+        if pairs is None or pairs.shape[0] == 0:
+            # No interaction-derived pairs: genre-similarity fallback
+            # (reference run.py:184-237 falls back to run.py:254-328).
+            from ..evaluation.fallback import evaluate_genre_similarity
+
+            out = evaluate_genre_similarity(
+                emb, self.data.genres, k_values=self.cfg.eval.k_values,
+                mrr_scale=self.cfg.eval.mrr_scale, seed=self.cfg.train.seed,
+            )
+            out["fallback"] = "genre_similarity"
+            return out
         return eval_metrics.evaluate_embeddings(
             emb, pairs, k_values=self.cfg.eval.k_values,
             mrr_scale=self.cfg.eval.mrr_scale,

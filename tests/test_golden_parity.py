@@ -33,27 +33,11 @@ def torch_state():
 
 
 def _to_jax_params(sd) -> dict:
-    """torch state_dict -> our pytree (torch Linear weight is [out, in];
-    ours is [in, out])."""
-    def lin(prefix):
-        return {
-            "w": jnp.asarray(sd[f"{prefix}.weight"].T.copy()),
-            "b": jnp.asarray(sd[f"{prefix}.bias"].copy()),
-        }
+    from movie_recommendation_engine_tpu.utils.torch_import import (
+        params_from_torch_state_dict,
+    )
 
-    n_convs = len({k.split(".")[1] for k in sd if k.startswith("convs.")})
-    return {
-        "input_proj": lin("input_proj"),
-        "convs": [
-            {
-                "self": lin(f"convs.{i}.lin_self"),
-                "neigh": lin(f"convs.{i}.lin_neigh"),
-                "update": lin(f"convs.{i}.lin_update"),
-            }
-            for i in range(n_convs)
-        ],
-        "output_proj": lin("output_proj"),
-    }
+    return params_from_torch_state_dict(sd)
 
 
 def _torch_mlp_path(sd, x):
