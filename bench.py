@@ -23,6 +23,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -70,45 +71,57 @@ def bench_tpu(x, nbrs, weights, rng):
     nbrs_j = tuple(jnp.asarray(n) for n in nbrs)
     w_j = tuple(jnp.asarray(w) for w in weights)
 
-    @jax.jit
-    def step(params, opt_state, q, p, rn, hn):
-        b = q.shape[0]
-        r = rn.shape[0]
+    # One jitted program scans all steps (matching train/trainer.py's
+    # step-block design): a single dispatch, so host/tunnel round-trips do
+    # not pollute the device throughput measurement.
+    @partial(jax.jit, static_argnames=("num_steps",), donate_argnames=("params", "opt_state"))
+    def run_steps(params, opt_state, q_blk, p_blk, rn_blk, hn_blk, num_steps):
+        def one_step(carry, inputs):
+            params, opt_state = carry
+            q, p, rn, hn = inputs
+            b = q.shape[0]
+            r = rn.shape[0]
 
-        def loss_fn(params):
-            all_nodes = jnp.concatenate([q, p, rn, hn.reshape(-1)])
-            emb = pinsage.pooled_forward_batch(
-                params, xj, list(nbrs_j), list(w_j), all_nodes,
-                valid_limit=NUM_MOVIES, dtype=jnp.bfloat16,
-            )
-            q_e, p_e = emb[:b], emb[b:2 * b]
-            r_e = emb[2 * b:2 * b + r]
-            h_e = emb[2 * b + r:].reshape(b, NUM_HARD, -1)
-            return losses.curriculum_loss(q_e, p_e, r_e, h_e, epoch=3,
-                                          max_epochs=10)
+            def loss_fn(params):
+                all_nodes = jnp.concatenate([q, p, rn, hn.reshape(-1)])
+                emb = pinsage.pooled_forward_batch(
+                    params, xj, list(nbrs_j), list(w_j), all_nodes,
+                    valid_limit=NUM_MOVIES, dtype=jnp.bfloat16,
+                )
+                q_e, p_e = emb[:b], emb[b:2 * b]
+                r_e = emb[2 * b:2 * b + r]
+                h_e = emb[2 * b + r:].reshape(b, NUM_HARD, -1)
+                return losses.curriculum_loss(q_e, p_e, r_e, h_e, epoch=3,
+                                              max_epochs=10)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt_state = optim.adam_update(grads, opt_state, params, 1e-3)
-        return params, opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params, opt_state = optim.adam_update(grads, opt_state, params, 1e-3)
+            return (params, opt_state), loss
 
-    def batch_args():
-        q = jnp.asarray(rng.integers(0, NUM_MOVIES, BATCH), jnp.int32)
-        p = jnp.asarray(rng.integers(0, NUM_MOVIES, BATCH), jnp.int32)
-        rn = jnp.asarray(rng.integers(0, NUM_MOVIES, NUM_RAND_NEG), jnp.int32)
-        hn = jnp.asarray(rng.integers(0, NUM_MOVIES, (BATCH, NUM_HARD)), jnp.int32)
+        (params, opt_state), step_losses = jax.lax.scan(
+            one_step, (params, opt_state), (q_blk, p_blk, rn_blk, hn_blk)
+        )
+        return params, opt_state, step_losses
+
+    def blocks(s):
+        q = jnp.asarray(rng.integers(0, NUM_MOVIES, (s, BATCH)), jnp.int32)
+        p = jnp.asarray(rng.integers(0, NUM_MOVIES, (s, BATCH)), jnp.int32)
+        rn = jnp.asarray(rng.integers(0, NUM_MOVIES, (s, NUM_RAND_NEG)), jnp.int32)
+        hn = jnp.asarray(
+            rng.integers(0, NUM_MOVIES, (s, BATCH, NUM_HARD)), jnp.int32
+        )
         return q, p, rn, hn
 
-    args = batch_args()
-    for _ in range(WARMUP):
-        params, opt_state, loss = step(params, opt_state, *args)
-    jax.block_until_ready(loss)
+    params, opt_state, loss = run_steps(params, opt_state, *blocks(STEPS),
+                                        num_steps=STEPS)
+    jax.block_until_ready(loss)   # absorb compile
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        params, opt_state, loss = step(params, opt_state, *args)
+    params, opt_state, loss = run_steps(params, opt_state, *blocks(STEPS),
+                                        num_steps=STEPS)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt, float(loss)
+    return BATCH * STEPS / dt, float(loss[-1])
 
 
 def bench_torch_baseline(x, nbrs, weights, rng, steps=6):

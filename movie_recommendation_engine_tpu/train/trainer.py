@@ -136,6 +136,31 @@ class Trainer:
         # Steps scanned per device dispatch (see _run_steps).
         self.steps_per_call = 8
 
+        # ---- optional device mesh (multi-chip) -----------------------------
+        # Opt-in via cfg.mesh.mesh_shape. Batch dims are sharded over "data"
+        # (gradient psum inserted by the SPMD partitioner); tables are
+        # row-sharded over "model" when cfg.mesh.shard_tables. The SAME
+        # jitted program runs either way — sharding comes from input
+        # placement, not separate code.
+        self.mesh = None
+        if cfg.mesh.mesh_shape is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import mesh as mesh_mod
+
+            self.mesh = mesh_mod.make_mesh(tuple(cfg.mesh.mesh_shape))
+            self._data_size = self.mesh.shape[cfg.mesh.data_axis]
+            model_size = self.mesh.shape[cfg.mesh.model_axis]
+            self._batch_sharding = NamedSharding(self.mesh, P(None, "data"))
+            if cfg.mesh.shard_tables and model_size > 1:
+                self._row_sharding = NamedSharding(self.mesh, P("model", None))
+                xt, _ = mesh_mod.pad_to_multiple(np.asarray(self.x_table), model_size)
+                self.x_table = jax.device_put(jnp.asarray(xt), self._row_sharding)
+                self.table_rows = int(xt.shape[0])
+            else:
+                self._row_sharding = NamedSharding(self.mesh, P())
+                self.x_table = jax.device_put(self.x_table, self._row_sharding)
+
         self.log.log(
             "init",
             num_movies=data.num_movies, num_users=data.num_users,
@@ -160,6 +185,9 @@ class Trainer:
                 cfg.walk.num_neighbors, self.n_iters,
                 num_nodes=self.table_rows,
             )
+            if self.mesh is not None:
+                nbrs = jax.device_put(nbrs, self._row_sharding)
+                w = jax.device_put(w, self._row_sharding)
             tables.append((nbrs, w))
         self.nbr_tables = tables
 
@@ -271,11 +299,15 @@ class Trainer:
         else:
             pairs = pairs[rng.permutation(pairs.shape[0])]
         # Pad to a whole number of fixed-size batches (wrap-around) so the
-        # jitted step sees one static batch shape.
+        # jitted step sees one static batch shape. Under a mesh the batch
+        # must divide the data axis.
         bsz = min(self.cfg.train.batch_size, max(pairs.shape[0], 1))
+        if self.mesh is not None:
+            bsz = max(bsz - bsz % self._data_size, self._data_size)
         pad = (-pairs.shape[0]) % bsz
         if pad:
-            pairs = np.concatenate([pairs, pairs[:pad]], axis=0)
+            reps = 2 + pad // max(pairs.shape[0], 1)
+            pairs = np.concatenate([pairs] * reps, axis=0)[: pairs.shape[0] + pad]
         return pairs.reshape(-1, bsz, 2)
 
     def train_epoch(self, epoch: int) -> dict[str, float]:
@@ -307,6 +339,9 @@ class Trainer:
             batches = np.concatenate([batches, batches[:pad_steps]], axis=0)
         q_all = jnp.asarray(batches[:, :, 0], jnp.int32)
         p_all = jnp.asarray(batches[:, :, 1], jnp.int32)
+        if self.mesh is not None:
+            q_all = jax.device_put(q_all, self._batch_sharding)
+            p_all = jax.device_put(p_all, self._batch_sharding)
 
         losses_dev = []
         t0 = time.perf_counter()
