@@ -18,7 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -43,7 +43,7 @@ def sharded_gather(mesh: Mesh, table: jax.Array, idx: jax.Array,
 
     specs_in = (P(axis, None), P())
     return shard_map(
-        local, mesh=mesh, in_specs=specs_in, out_specs=P(), check_rep=False
+        local, mesh=mesh, in_specs=specs_in, out_specs=P(), check_vma=False
     )(table, idx)
 
 
@@ -60,5 +60,5 @@ def ring_shift(mesh: Mesh, x: jax.Array, axis: str = "model",
 
     return shard_map(
         local, mesh=mesh, in_specs=(P(axis, None, None),),
-        out_specs=P(axis, None, None), check_rep=False,
+        out_specs=P(axis, None, None), check_vma=False,
     )(x)
