@@ -50,6 +50,10 @@ class FeatureConfig:
 
     feature_dim: int = 128
     use_visual_features: bool = False
+    # True reproduces the reference's StandardScaler-before-PCA
+    # (feature_extractor.py:93-95); False (default) is center-only PCA, which
+    # preserves the genre/content signal — see graph/features.standardize_pca.
+    standardize: bool = False
     genre_weight: float = 2.0          # feature_extractor.py:118
     year_norm: float = 2020.0          # feature_extractor.py:136
     title_tfidf_max_features: int = 100  # feature_extractor.py:153
@@ -66,6 +70,9 @@ class ModelConfig:
     embed_dim: int = 128
     num_layers: int = 2
     aggregator_type: str = "importance"  # mean|weighted|attention|max|importance
+    # "he_zero_bias" (default) or "torch_default" (reference nn.Linear parity;
+    # collapses at init — see models/pinsage._linear_init).
+    init_style: str = "he_zero_bias"
     dropout: float = 0.2
     use_batch_norm: bool = False
     # Which nodes are eligible as pooled neighbors. The reference passes only
@@ -83,6 +90,11 @@ class WalkConfig:
     walk_length: int = 2
     num_walks: int = 100
     num_neighbors: int = 50
+    # "movies": count only movie-node visits when ranking neighborhoods
+    # (PinSage-paper semantics — items neighbor items). "all": count every
+    # visited node like the reference (whose pooling then drops user ids,
+    # wasting top-K slots; see sampling/random_walk.importance_neighborhoods).
+    count_nodes: str = "movies"
 
 
 @dataclass
@@ -110,8 +122,11 @@ class TrainConfig:
     # README:130-168). "mlp": the reference's shipped simplified loop
     # (train.py:72-78, no graph, cosine objective).
     train_path: str = "pinsage"
-    # Loss used on the pinsage path: "max_margin" | "batch_hard" | "curriculum".
-    loss: str = "curriculum"
+    # Loss on the pinsage path: "nce" (sampled softmax, default — see
+    # models/losses.nce_loss for why) | "max_margin" | "batch_hard" |
+    # "curriculum" (reference parity, model/loss.py).
+    loss: str = "nce"
+    nce_temperature: float = 0.1
     # Neighborhood tables are resampled every N epochs (0 = every step). The
     # reference samples fresh on every get_embeddings call
     # (model/pinsage.py:271-275); per-epoch refresh is the TPU-friendly

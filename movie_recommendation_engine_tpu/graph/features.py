@@ -123,20 +123,30 @@ def _tfidf_fallback(docs: list[str], max_features: int, min_df: int) -> np.ndarr
     return (x / norms).astype(np.float32)
 
 
-def standardize_pca(features: np.ndarray, out_dim: int, seed: int = 0) -> np.ndarray:
-    """StandardScaler + PCA (feature_extractor.py:89-102 semantics).
+def standardize_pca(features: np.ndarray, out_dim: int, seed: int = 0,
+                    standardize: bool = True) -> np.ndarray:
+    """[StandardScaler +] PCA (feature_extractor.py:89-102 semantics).
 
-    Center/scale each column, then project onto the top ``out_dim``
-    eigenvectors of the [F, F] covariance. This is one-time host-side
-    featurization: the eigendecomposition runs in numpy (LAPACK) because the
-    experimental TPU tunnel backend mishandles eigh; the projection matmul is
-    cheap either way (F is a few hundred).
+    ``standardize=True`` reproduces the reference exactly (per-column
+    scale to unit variance before PCA). In practice that step *destroys* the
+    content signal: it equalizes the informative low-cardinality genre
+    columns with hundreds of near-constant noisy TF-IDF columns, and the top
+    principal components end up noise-dominated (measured: HR@10 of feature
+    cosine drops ~3x on structured data). The pipeline therefore defaults to
+    center-only PCA (``standardize=False``) via FeatureConfig.standardize.
+
+    One-time host-side featurization: the eigendecomposition runs in numpy
+    (LAPACK) because the experimental TPU tunnel backend mishandles eigh; the
+    projection matmul is cheap either way (F is a few hundred).
     """
     x = np.asarray(features, dtype=np.float64)
     mean = x.mean(axis=0, keepdims=True)
-    std = x.std(axis=0, keepdims=True)
-    std[std == 0] = 1.0
-    xs = (x - mean) / std
+    if standardize:
+        std = x.std(axis=0, keepdims=True)
+        std[std == 0] = 1.0
+        xs = (x - mean) / std
+    else:
+        xs = x - mean
     n = xs.shape[0]
     cov = (xs.T @ xs) / max(n - 1, 1)
     eigvals, eigvecs = np.linalg.eigh(cov)         # ascending order
@@ -162,6 +172,7 @@ def extract_movie_features(
     tag_tfidf_max: int = 200,
     tag_tfidf_min_df: int = 3,
     seed: int = 0,
+    standardize: bool = False,
 ) -> np.ndarray:
     """Full pipeline -> [num_movies, feature_dim] float32.
 
@@ -183,7 +194,8 @@ def extract_movie_features(
             parts.append(tg)
     combined = np.hstack(parts).astype(np.float32)
     if feature_dim < combined.shape[1]:
-        return standardize_pca(combined, feature_dim, seed=seed)
+        return standardize_pca(combined, feature_dim, seed=seed,
+                               standardize=standardize)
     if feature_dim > combined.shape[1]:
         pad = np.zeros((combined.shape[0], feature_dim - combined.shape[1]), np.float32)
         combined = np.hstack([combined, pad])

@@ -72,11 +72,53 @@ def generate(
     user_act = rng.pareto(1.2, size=num_users) + 1.0
     user_act /= user_act.sum()
 
-    r_movie = rng.choice(num_movies, size=num_ratings, p=movie_pop)
+    # Latent taste structure: each movie's primary cluster is its first
+    # genre; each user prefers 1-3 genres. A user's ratings draw mostly
+    # (80%) from popular movies inside their preferred genres — giving the
+    # co-engagement graph real, learnable structure aligned with the genre
+    # content features (without it, positives are popularity noise and no
+    # recommender can beat chance).
+    primary = np.array(
+        [GENRES.index(g.split("|")[0]) for g in genre_strs], dtype=np.int64
+    )
+    cluster_movies = [np.flatnonzero(primary == c) for c in range(len(GENRES))]
+    cluster_pop = [
+        movie_pop[m] / movie_pop[m].sum() if m.size else None
+        for m in cluster_movies
+    ]
+    user_num_prefs = rng.integers(1, 4, size=num_users)
+    user_prefs = [
+        rng.choice(len(GENRES), size=k, replace=False) for k in user_num_prefs
+    ]
+
     r_user = rng.choice(num_users, size=num_ratings, p=user_act)
-    # Ratings in {0.5, 1.0, ..., 5.0} skewed positive like MovieLens.
-    base = np.clip(rng.normal(3.5, 1.0, size=num_ratings), 0.5, 5.0)
-    r_value = np.round(base * 2.0) / 2.0
+    r_movie = np.empty(num_ratings, dtype=np.int64)
+    in_pref = rng.random(num_ratings) < 0.8
+    # Off-preference draws: global popularity.
+    off = ~in_pref
+    r_movie[off] = rng.choice(num_movies, size=int(off.sum()), p=movie_pop)
+    # In-preference draws: popularity within one of the user's genres.
+    idx_in = np.flatnonzero(in_pref)
+    chosen_cluster = np.array([
+        user_prefs[u][rng.integers(0, len(user_prefs[u]))] for u in r_user[idx_in]
+    ])
+    for c in range(len(GENRES)):
+        sel = idx_in[chosen_cluster == c]
+        if sel.size == 0:
+            continue
+        movies_c, pop_c = cluster_movies[c], cluster_pop[c]
+        if movies_c.size == 0:
+            r_movie[sel] = rng.choice(num_movies, size=sel.size, p=movie_pop)
+        else:
+            r_movie[sel] = movies_c[rng.choice(movies_c.size, size=sel.size, p=pop_c)]
+
+    # Ratings: higher for in-preference movies (MovieLens-like half steps).
+    base = np.where(
+        in_pref,
+        rng.normal(4.0, 0.7, size=num_ratings),
+        rng.normal(3.0, 1.0, size=num_ratings),
+    )
+    r_value = np.round(np.clip(base, 0.5, 5.0) * 2.0) / 2.0
     r_ts = rng.integers(8.0e8, 1.6e9, size=num_ratings)
 
     # Deduplicate (user, movie) pairs keeping the first occurrence, like real

@@ -90,3 +90,31 @@ def cosine_objective(query: jax.Array, positive: jax.Array) -> jax.Array:
     """The reference's shipped simplified objective: -mean(sum(q*p))
     (train.py:75-78)."""
     return -jnp.mean(jnp.sum(query * positive, axis=1))
+
+
+def nce_loss(
+    query: jax.Array,            # [B, D]
+    positive: jax.Array,         # [B, D]
+    negative_pool: jax.Array,    # [N, D] shared negatives
+    hard_negatives: jax.Array | None = None,  # [B, H, D]
+    temperature: float = 0.1,
+) -> jax.Array:
+    """Sampled-softmax (InfoNCE) objective — the framework's default.
+
+    Cross-entropy of the positive against the shared negative pool (plus
+    optional per-query hard negatives, which is the natural curriculum
+    integration). Chosen over the reference's max-over-negatives hinge
+    (model/loss.py:6-64) because the hinge collapses on unit-sphere
+    embeddings: attraction from every pair outweighs repulsion from the
+    single hardest negative, and all-identical embeddings sit at loss ==
+    margin (measured; see train/trainer.py). Softmax repels from *all*
+    negatives at once and is the standard two-tower retrieval objective.
+    """
+    pos = jnp.sum(query * positive, axis=1) / temperature        # [B]
+    neg = (query @ negative_pool.T) / temperature                # [B, N]
+    logits = [pos[:, None], neg]
+    if hard_negatives is not None:
+        hard = jnp.einsum("bd,bhd->bh", query, hard_negatives) / temperature
+        logits.append(hard)
+    logits = jnp.concatenate(logits, axis=1)
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])

@@ -97,8 +97,10 @@ def _hamming_topk(qsig: jax.Array, sigs: jax.Array, k: int):
     indices [Q, k]). Chunked over N to bound the [Q, C, T, W] XOR buffer."""
     qn, t, w = qsig.shape
     n = sigs.shape[0]
-    chunk = max(1, min(n, 1 << 22) // max(qn * t * w, 1))
-    chunk = max(128, chunk)
+    # Chunk sized so the [Q, C, T, W] XOR buffer stays ~128M elements —
+    # large enough that the scan is bandwidth- rather than overhead-bound.
+    chunk = max(1, (1 << 27) // max(qn * t * w, 1))
+    chunk = int(min(max(512, chunk), max(n, 512)))
     pad = (-n) % chunk
     sigs_p = jnp.pad(sigs, ((0, pad), (0, 0), (0, 0)))
     num_chunks = sigs_p.shape[0] // chunk

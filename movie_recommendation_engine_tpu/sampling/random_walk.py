@@ -159,15 +159,25 @@ def _run_length_counts(visited_sorted: jax.Array, sentinel: int) -> jax.Array:
     return counts
 
 
-@partial(jax.jit, static_argnames=("num_neighbors", "sentinel"))
+@partial(jax.jit, static_argnames=("num_neighbors", "sentinel", "restrict_below"))
 def importance_neighborhoods(
     visited: jax.Array,       # [B, M] from random_walks
     num_neighbors: int,
     sentinel: int,
+    restrict_below: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-``num_neighbors`` visited nodes by visit count, with weights
     normalized over the selected set. Missing slots get the sentinel id and
-    weight 0. Returns (neighbors [B, K] int32, weights [B, K] f32)."""
+    weight 0. Returns (neighbors [B, K] int32, weights [B, K] f32).
+
+    ``restrict_below`` counts only nodes with id < restrict_below (e.g. movie
+    nodes of a bipartite graph) — the PinSage-paper semantics where the
+    neighborhood of an item is other *items*. The reference counts every
+    visited node and silently drops non-item ids at pooling time
+    (model/pinsage.py:124), wasting top-K slots; restrict_below=None
+    reproduces that."""
+    if restrict_below is not None:
+        visited = jnp.where(visited < restrict_below, visited, sentinel)
     v = jnp.sort(visited, axis=1)
     counts = _run_length_counts(v, sentinel)
     k = min(num_neighbors, v.shape[1])
@@ -193,11 +203,13 @@ def sample_neighborhoods(
     walk_length: int,
     num_neighbors: int,
     n_iters: int,
+    restrict_below: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Walks + importance top-K in one call — the batched equivalent of
     ``RandomWalkSampler.batch_sample_neighbors`` (utils/random_walk.py:119-142)."""
     visited = random_walks(graph, nodes, key, num_walks, walk_length, n_iters)
-    return importance_neighborhoods(visited, num_neighbors, graph.sentinel)
+    return importance_neighborhoods(visited, num_neighbors, graph.sentinel,
+                                    restrict_below)
 
 
 def all_node_neighborhoods(
@@ -209,6 +221,7 @@ def all_node_neighborhoods(
     n_iters: int,
     batch: int = 8192,
     num_nodes: int | None = None,
+    restrict_below: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Neighborhood tables for every node: ([N, K] ids, [N, K] weights).
 
@@ -225,7 +238,8 @@ def all_node_neighborhoods(
     for i, k in enumerate(keys):
         chunk = ids[i * batch : (i + 1) * batch]
         nb, w = sample_neighborhoods(
-            graph, chunk, k, num_walks, walk_length, num_neighbors, n_iters
+            graph, chunk, k, num_walks, walk_length, num_neighbors, n_iters,
+            restrict_below,
         )
         nbrs_out.append(nb)
         w_out.append(w)

@@ -76,6 +76,7 @@ class Trainer:
             tag_tfidf_max=cfg.features.tag_tfidf_max_features,
             tag_tfidf_min_df=cfg.features.tag_tfidf_min_df,
             seed=cfg.train.seed,
+            standardize=cfg.features.standardize,
         )
         if cfg.features.use_visual_features:
             vis = feat_mod.create_visual_features(
@@ -125,6 +126,7 @@ class Trainer:
             pkey, cfg.features.feature_dim, cfg.model.hidden_dim,
             cfg.model.embed_dim, cfg.model.num_layers, cfg.model.aggregator_type,
             use_batch_norm=cfg.model.use_batch_norm,
+            init_style=cfg.model.init_style,
         )
         self.opt_state = optim.adam_init(self.params)
         self.plateau = optim.plateau_init(cfg.train.learning_rate)
@@ -177,6 +179,11 @@ class Trainer:
         """Resample per-layer neighborhood tables for every table row
         (model/pinsage.py:271-275 samples one table per layer)."""
         cfg = self.cfg
+        restrict = (
+            self.data.num_movies
+            if cfg.walk.count_nodes == "movies" and cfg.graph.use_bipartite_graph
+            else None
+        )
         tables = []
         for _ in range(cfg.model.num_layers):
             self.rng, k = jax.random.split(self.rng)
@@ -184,6 +191,7 @@ class Trainer:
                 self.graph, k, cfg.walk.num_walks, cfg.walk.walk_length,
                 cfg.walk.num_neighbors, self.n_iters,
                 num_nodes=self.table_rows,
+                restrict_below=restrict,
             )
             if self.mesh is not None:
                 nbrs = jax.device_put(nbrs, self._row_sharding)
@@ -271,6 +279,11 @@ class Trainer:
                     return losses.shared_pool_max_margin_loss(
                         q_emb, p_emb, r_emb, cfg.train.margin
                     )
+                if kind == "nce":
+                    return losses.nce_loss(
+                        q_emb, p_emb, r_emb, h_emb,
+                        temperature=cfg.train.nce_temperature,
+                    )
                 return losses.curriculum_loss(
                     q_emb, p_emb, r_emb, h_emb, epoch_static,
                     margin=cfg.train.margin, max_epochs=cfg.train.epochs,
@@ -323,7 +336,8 @@ class Trainer:
         batches = self._epoch_pairs(np_rng)
         num_hard = (
             negative.curriculum_num_hard(epoch, cfg.train.max_hard_negatives)
-            if cfg.train.loss == "curriculum" and cfg.train.train_path != "mlp"
+            if cfg.train.loss in ("curriculum", "nce")
+            and cfg.train.train_path != "mlp"
             else 0
         )
         nbrs_l = tuple(t[0] for t in self.nbr_tables)
