@@ -170,3 +170,33 @@ def test_cosine_objective():
     q = jnp.array([[1.0, 0.0]])
     p = jnp.array([[1.0, 0.0]])
     assert float(losses.cosine_objective(q, p)) == pytest.approx(-1.0)
+
+
+def test_nce_loss_hand_value():
+    # q == p orthogonal to the single negative, t=1:
+    # loss = -log(e^1 / (e^1 + e^0)) = log(1 + e^-1)
+    q = jnp.array([[1.0, 0.0]])
+    p = jnp.array([[1.0, 0.0]])
+    pool = jnp.array([[0.0, 1.0]])
+    got = float(losses.nce_loss(q, p, pool, temperature=1.0))
+    assert got == pytest.approx(float(np.log(1 + np.exp(-1.0))), abs=1e-6)
+
+
+def test_nce_loss_hard_negatives_increase_loss():
+    key = jax.random.PRNGKey(0)
+    q = pinsage.l2_normalize(jax.random.normal(key, (6, 8)))
+    p = pinsage.l2_normalize(jax.random.normal(jax.random.PRNGKey(1), (6, 8)))
+    pool = pinsage.l2_normalize(jax.random.normal(jax.random.PRNGKey(2), (10, 8)))
+    base = float(losses.nce_loss(q, p, pool))
+    # Hard negatives identical to the queries: maximally confusing.
+    hard = jnp.repeat(q[:, None, :], 2, axis=1)
+    harder = float(losses.nce_loss(q, p, pool, hard))
+    assert harder > base
+
+
+def test_nce_loss_decreases_with_alignment():
+    pool = jnp.array([[0.0, 1.0], [0.7, 0.7]])
+    q = jnp.array([[1.0, 0.0]])
+    aligned = float(losses.nce_loss(q, q, pool))
+    anti = float(losses.nce_loss(q, -q, pool))
+    assert aligned < anti
