@@ -49,20 +49,22 @@ def init_aggregator_params(key, kind: str, in_dim: int, out_dim: int):
     return None
 
 
-def _mask_and_gather(h_table, nbrs, valid_limit):
+def _mask_and_gather(h_table, nbrs, valid_limit, dtype=None):
     n = h_table.shape[0]
     limit = n if valid_limit is None else min(valid_limit, n)
     valid = nbrs < limit
-    feats = jnp.take(h_table, jnp.minimum(nbrs, n - 1), axis=0, mode="clip")
+    # Cast before gathering — the [B, K, D] gather dominates bandwidth.
+    src = h_table if dtype is None else h_table.astype(dtype)
+    feats = jnp.take(src, jnp.minimum(nbrs, n - 1), axis=0, mode="clip")
     return feats, valid
 
 
 def mean_aggregate(h_table, nbrs, valid_limit=None, dtype=jnp.bfloat16):
     """Unweighted mean over valid neighbors (model/aggregators.py:5-39)."""
-    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit)
+    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit, dtype)
     cnt = jnp.sum(valid, axis=1, keepdims=True).astype(jnp.float32)
     w = jnp.where(valid, 1.0, 0.0) / jnp.maximum(cnt, 1.0)
-    out = jnp.einsum("bk,bkd->bd", w.astype(dtype), feats.astype(dtype),
+    out = jnp.einsum("bk,bkd->bd", w.astype(dtype), feats,
                      preferred_element_type=jnp.float32)
     return out.astype(jnp.float32)
 
@@ -70,13 +72,13 @@ def mean_aggregate(h_table, nbrs, valid_limit=None, dtype=jnp.bfloat16):
 def weighted_aggregate(h_table, nbrs, weights, valid_limit=None, dtype=jnp.bfloat16):
     """Normalized weighted sum; mean fallback when all weights are zero
     (model/aggregators.py:41-91)."""
-    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit)
+    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit, dtype)
     w = jnp.where(valid, weights, 0.0)
     wsum = jnp.sum(w, axis=1, keepdims=True)
     cnt = jnp.sum(valid, axis=1, keepdims=True).astype(jnp.float32)
     uniform = jnp.where(valid, 1.0, 0.0) / jnp.maximum(cnt, 1.0)
     w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), uniform)
-    out = jnp.einsum("bk,bkd->bd", w.astype(dtype), feats.astype(dtype),
+    out = jnp.einsum("bk,bkd->bd", w.astype(dtype), feats,
                      preferred_element_type=jnp.float32)
     return out.astype(jnp.float32)
 
@@ -87,7 +89,8 @@ def attention_aggregate(params, h_table, nbrs, self_feats, valid_limit=None,
     (model/aggregators.py:93-160)."""
     from .pinsage import linear
 
-    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit)
+    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit, dtype)
+    feats = feats.astype(jnp.float32)
     b, k, d = feats.shape
     self_exp = jnp.broadcast_to(self_feats[:, None, :], (b, k, d))
     cat = jnp.concatenate([self_exp, feats], axis=-1).reshape(b * k, 2 * d)
@@ -106,7 +109,8 @@ def max_aggregate(params, h_table, nbrs, valid_limit=None, dtype=jnp.bfloat16):
     (model/aggregators.py:162-211)."""
     from .pinsage import linear
 
-    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit)
+    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit, dtype)
+    feats = feats.astype(jnp.float32)
     b, k, d = feats.shape
     t = jax.nn.relu(linear(params["mlp"], feats.reshape(b * k, d), dtype))
     t = t.reshape(b, k, -1)
@@ -121,7 +125,8 @@ def importance_transform_aggregate(params, h_table, nbrs, weights,
     (model/aggregators.py:213-287)."""
     from .pinsage import linear
 
-    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit)
+    feats, valid = _mask_and_gather(h_table, nbrs, valid_limit, dtype)
+    feats = feats.astype(jnp.float32)
     b, k, d = feats.shape
     t = linear(params["transform"], feats.reshape(b * k, d), dtype).reshape(b, k, -1)
     w = jnp.where(valid, weights, 0.0)

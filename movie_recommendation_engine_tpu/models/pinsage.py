@@ -64,15 +64,22 @@ def _linear_init(key: jax.Array, fan_in: int, fan_out: int,
 
 
 def linear(p: dict[str, jax.Array], x: jax.Array, dtype=None) -> jax.Array:
+    """Affine layer. With ``dtype`` given, inputs/weights are cast to it and
+    the OUTPUT STAYS in that dtype — the whole hidden pipeline (including the
+    bandwidth-dominating [B, K, D] neighbor gathers) then runs in bf16;
+    upcasting to f32 after every layer forced XLA to keep f32 activation
+    tables and gather 2x the bytes. Params remain f32; reductions that need
+    precision (L2 norms, loss) compute in f32 explicitly."""
     w, b = p["w"], p["b"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
-    return (x @ w + b.astype(x.dtype)).astype(jnp.float32)
+    return x @ w + b.astype(x.dtype)
 
 
 def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, _EPS)
+    xf = x.astype(jnp.float32)
+    n = jnp.linalg.norm(xf, axis=axis, keepdims=True)
+    return (xf / jnp.maximum(n, _EPS)).astype(x.dtype)
 
 
 def init_params(
@@ -131,7 +138,7 @@ def mlp_forward(params: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     h = jax.nn.relu(linear(params["input_proj"], x, dtype))
     for conv in params["convs"]:
         h = jax.nn.relu(linear(conv["self"], h, dtype))
-    return l2_normalize(linear(params["output_proj"], h, dtype))
+    return l2_normalize(linear(params["output_proj"], h, dtype).astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -156,12 +163,17 @@ def importance_pool(
     w = jnp.where(valid, weights, 0.0)
     wsum = jnp.sum(w, axis=1, keepdims=True)
     w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
-    feats = jnp.take(h_table, jnp.minimum(nbrs, n - 1), axis=0, mode="clip")
+    # Cast the table BEFORE the gather: the [B, K, D] gather (and its
+    # backward scatter) dominates step bandwidth; moving bf16 instead of f32
+    # halves the bytes (step is HBM-bound — 3.5 GB/step at bench shapes).
+    feats = jnp.take(
+        h_table.astype(dtype), jnp.minimum(nbrs, n - 1), axis=0, mode="clip"
+    )
     out = jnp.einsum(
-        "bk,bkd->bd", w.astype(dtype), feats.astype(dtype),
+        "bk,bkd->bd", w.astype(dtype), feats,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(jnp.float32)
+    return out.astype(dtype)
 
 
 def _conv_block(
@@ -209,13 +221,13 @@ def pooled_forward(
         h_neigh = aggregators.aggregate(
             aggregator, conv.get("agg"), h, nbrs, w,
             self_feats=h, valid_limit=valid_limit, dtype=dtype,
-        )
+        ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
         if dropout_rate > 0.0 and dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
             h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
-    return l2_normalize(linear(params["output_proj"], h, dtype))
+    return l2_normalize(linear(params["output_proj"], h, dtype).astype(jnp.float32))
 
 
 def pooled_forward_batch(
@@ -243,7 +255,7 @@ def pooled_forward_batch(
         h_neigh = aggregators.aggregate(
             aggregator, conv.get("agg"), h, nbrs, w,
             self_feats=h, valid_limit=valid_limit, dtype=dtype,
-        )
+        ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
         if dropout_rate > 0.0 and dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
@@ -259,9 +271,9 @@ def pooled_forward_batch(
     h_neigh = aggregators.aggregate(
         aggregator, last.get("agg"), h, bn, bw,
         self_feats=h_batch, valid_limit=valid_limit, dtype=dtype,
-    )
+    ).astype(dtype)
     h_out = _conv_block(last, h_batch, h_neigh, dtype)
-    return l2_normalize(linear(params["output_proj"], h_out, dtype))
+    return l2_normalize(linear(params["output_proj"], h_out, dtype).astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +300,7 @@ def edge_forward(
             msg = msg * edge_weight[:, None]
         h_neigh = jax.ops.segment_sum(msg, edge_dst, num_segments=n)
         h = _conv_block(conv, h, h_neigh, dtype)
-    return l2_normalize(linear(params["output_proj"], h, dtype))
+    return l2_normalize(linear(params["output_proj"], h, dtype).astype(jnp.float32))
 
 
 def forward(
