@@ -38,7 +38,7 @@ K_NBRS = 50
 BATCH = 512
 NUM_RAND_NEG = 500
 NUM_HARD = 6
-STEPS = 30
+STEPS = 100
 WARMUP = 3
 
 
@@ -57,7 +57,11 @@ def _setup_numpy(seed=0):
     return x, nbrs, weights, rng
 
 
-def bench_tpu(x, nbrs, weights, rng):
+def bench_tpu(x, nbrs, weights, rng, pool="dense"):
+    """pool="dense": importance pooling as an [N, N] bf16 MXU matmul (what
+    train/trainer.py uses for corpora <= dense_pool_max_rows — measured ~50x
+    faster on TPU than the irregular row gather). pool="gather": the [B,K,D]
+    gather form (the large-corpus fallback)."""
     import jax
     import jax.numpy as jnp
 
@@ -70,12 +74,23 @@ def bench_tpu(x, nbrs, weights, rng):
     xj = jnp.asarray(x)
     nbrs_j = tuple(jnp.asarray(n) for n in nbrs)
     w_j = tuple(jnp.asarray(w) for w in weights)
+    if pool == "dense":
+        build = jax.jit(pinsage.dense_pool_matrix, static_argnames=("num_cols",))
+        pool_mats = tuple(build(n, w, num_cols=NUM_MOVIES)
+                          for n, w in zip(nbrs_j, w_j))
+        jax.block_until_ready(pool_mats)
+    else:
+        pool_mats = ()
 
     # One jitted program scans all steps (matching train/trainer.py's
     # step-block design): a single dispatch, so host/tunnel round-trips do
     # not pollute the device throughput measurement.
+    # pool_mats passed as an argument — closure capture would bake the
+    # [N, N] matrices into the program as constants (oversized executables;
+    # the tunnel's remote-compile rejects them outright).
     @partial(jax.jit, static_argnames=("num_steps",), donate_argnames=("params", "opt_state"))
-    def run_steps(params, opt_state, q_blk, p_blk, rn_blk, hn_blk, num_steps):
+    def run_steps(params, opt_state, pool_mats, q_blk, p_blk, rn_blk, hn_blk,
+                  num_steps):
         def one_step(carry, inputs):
             params, opt_state = carry
             q, p, rn, hn = inputs
@@ -84,10 +99,16 @@ def bench_tpu(x, nbrs, weights, rng):
 
             def loss_fn(params):
                 all_nodes = jnp.concatenate([q, p, rn, hn.reshape(-1)])
-                emb = pinsage.pooled_forward_batch(
-                    params, xj, list(nbrs_j), list(w_j), all_nodes,
-                    valid_limit=NUM_MOVIES, dtype=jnp.bfloat16,
-                )
+                if pool_mats:
+                    emb = pinsage.pooled_forward_batch_dense(
+                        params, xj, list(pool_mats), all_nodes,
+                        dtype=jnp.bfloat16,
+                    )
+                else:
+                    emb = pinsage.pooled_forward_batch(
+                        params, xj, list(nbrs_j), list(w_j), all_nodes,
+                        valid_limit=NUM_MOVIES, dtype=jnp.bfloat16,
+                    )
                 q_e, p_e = emb[:b], emb[b:2 * b]
                 r_e = emb[2 * b:2 * b + r]
                 h_e = emb[2 * b + r:].reshape(b, NUM_HARD, -1)
@@ -112,13 +133,13 @@ def bench_tpu(x, nbrs, weights, rng):
         )
         return q, p, rn, hn
 
-    params, opt_state, loss = run_steps(params, opt_state, *blocks(STEPS),
-                                        num_steps=STEPS)
+    params, opt_state, loss = run_steps(params, opt_state, pool_mats,
+                                        *blocks(STEPS), num_steps=STEPS)
     jax.block_until_ready(loss)   # absorb compile
 
     t0 = time.perf_counter()
-    params, opt_state, loss = run_steps(params, opt_state, *blocks(STEPS),
-                                        num_steps=STEPS)
+    params, opt_state, loss = run_steps(params, opt_state, pool_mats,
+                                        *blocks(STEPS), num_steps=STEPS)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     return BATCH * STEPS / dt, float(loss[-1])

@@ -176,6 +176,96 @@ def importance_pool(
     return out.astype(dtype)
 
 
+def dense_pool_matrix(
+    nbrs: jax.Array,      # [N, K] int32
+    weights: jax.Array,   # [N, K] f32
+    num_cols: int,
+    valid_limit: int | None = None,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """[N, num_cols] row-stochastic pooling matrix A with
+    A[i, nbrs[i, k]] += w_norm[i, k] (masked + renormalized like
+    ``importance_pool``).
+
+    Pooling then becomes ``A @ h`` — a dense bf16 matmul on the MXU. On TPU
+    the irregular [B, K, D] row gather runs at a fraction of HBM bandwidth
+    (measured ~5 ms for an [8192, 50, 256] gather vs ~0.2 ms of MXU matmul
+    FLOPs for the dense form), so for corpora where A fits comfortably in
+    HBM (N^2 * 2 bytes) the matmul wins by an order of magnitude. Built once
+    per neighborhood refresh.
+    """
+    n, k = nbrs.shape
+    limit = num_cols if valid_limit is None else min(valid_limit, num_cols)
+    valid = nbrs < limit
+    w = jnp.where(valid, weights, 0.0)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
+    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32)[:, None], k, axis=1)
+    a = jnp.zeros((n, num_cols), dtype=jnp.float32)
+    a = a.at[rows.reshape(-1), jnp.minimum(nbrs, num_cols - 1).reshape(-1)].add(
+        w.reshape(-1)
+    )
+    return a.astype(dtype)
+
+
+def pooled_forward_dense(
+    params: Params,
+    x_table: jax.Array,
+    pool_mats: list[jax.Array],   # per layer [N, N] from dense_pool_matrix
+    dtype=jnp.bfloat16,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    """Full-graph pooled forward with matmul pooling (importance aggregator
+    only — the dense form of ``pooled_forward``)."""
+    h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
+    for i, conv in enumerate(params["convs"]):
+        a = pool_mats[min(i, len(pool_mats) - 1)]
+        h_neigh = jnp.dot(a.astype(dtype), h.astype(dtype),
+                          preferred_element_type=jnp.float32).astype(dtype)
+        h = _conv_block(conv, h, h_neigh, dtype)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    return l2_normalize(linear(params["output_proj"], h, dtype).astype(jnp.float32))
+
+
+def pooled_forward_batch_dense(
+    params: Params,
+    x_table: jax.Array,
+    pool_mats: list[jax.Array],
+    batch_nodes: jax.Array,
+    dtype=jnp.bfloat16,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    """Dense-matmul variant of ``pooled_forward_batch``: full-graph convs for
+    layers 0..L-2, final conv restricted to ``batch_nodes`` via a row-gather
+    of A (a [B, N] slab — contiguous wide rows, which TPUs gather well,
+    unlike [B, K, D] scattered rows)."""
+    convs = params["convs"]
+    h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
+    for i, conv in enumerate(convs[:-1]):
+        a = pool_mats[min(i, len(pool_mats) - 1)]
+        h_neigh = jnp.dot(a.astype(dtype), h.astype(dtype),
+                          preferred_element_type=jnp.float32).astype(dtype)
+        h = _conv_block(conv, h, h_neigh, dtype)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    last = convs[-1]
+    li = len(convs) - 1
+    a = pool_mats[min(li, len(pool_mats) - 1)]
+    a_batch = jnp.take(a, batch_nodes, axis=0, mode="clip")
+    h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
+    h_neigh = jnp.dot(a_batch.astype(dtype), h.astype(dtype),
+                      preferred_element_type=jnp.float32).astype(dtype)
+    h_out = _conv_block(last, h_batch, h_neigh, dtype)
+    return l2_normalize(linear(params["output_proj"], h_out, dtype).astype(jnp.float32))
+
+
 def _conv_block(
     conv: Params,
     h_self_in: jax.Array,

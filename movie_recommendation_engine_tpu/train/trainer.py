@@ -134,6 +134,7 @@ class Trainer:
         self.epoch = 0
         self.best_metric = -float("inf")
         self.nbr_tables: list[tuple[jax.Array, jax.Array]] | None = None
+        self.pool_mats: tuple = ()
         self.compute_dtype = _dtype(cfg.train.compute_dtype)
         # Steps scanned per device dispatch (see _run_steps).
         self.steps_per_call = 8
@@ -199,6 +200,31 @@ class Trainer:
             tables.append((nbrs, w))
         self.nbr_tables = tables
 
+        # Dense pooling matrices (MXU path) when the corpus is small enough
+        # and the aggregator is linear pooling.
+        self.pool_mats = ()
+        impl = cfg.model.pool_impl
+        use_dense = (
+            cfg.model.aggregator_type == "importance"
+            and cfg.train.train_path != "mlp"
+            and (impl == "dense"
+                 or (impl == "auto"
+                     and self.table_rows <= cfg.model.dense_pool_max_rows))
+        )
+        if use_dense:
+            build = jax.jit(
+                pinsage.dense_pool_matrix,
+                static_argnames=("num_cols", "valid_limit"),
+            )
+            mats = []
+            for nbrs, w in tables:
+                a = build(nbrs, w, num_cols=self.table_rows,
+                          valid_limit=self.valid_limit)
+                if self.mesh is not None:
+                    a = jax.device_put(a, self._row_sharding)
+                mats.append(a)
+            self.pool_mats = tuple(mats)
+
     # ---- train step -------------------------------------------------------
     #
     # The whole inner loop — negative sampling (random + hard-negative walks),
@@ -216,8 +242,10 @@ class Trainer:
         self,
         params,
         opt_state,
-        nbrs_l: tuple,
+        x_table,               # [N, F] — explicit arg so large tables are
+        nbrs_l: tuple,         # never baked into the program as constants
         w_l: tuple,
+        pool_mats: tuple,      # per-layer [N, N] dense pool matrices, or ()
         q_blk: jax.Array,      # [S, B] int32
         p_blk: jax.Array,      # [S, B] int32
         key: jax.Array,
@@ -227,6 +255,7 @@ class Trainer:
     ):
         cfg = self.cfg
         num_rand = min(cfg.train.num_negative_samples, self.data.num_movies)
+        use_dense = len(pool_mats) > 0
 
         def one_step(carry, inputs):
             params, opt_state = carry
@@ -254,11 +283,17 @@ class Trainer:
                     nodes.append(hard_negs.reshape(-1))
                 all_nodes = jnp.concatenate(nodes)
                 if cfg.train.train_path == "mlp":
-                    x = jnp.take(self.x_table, all_nodes, axis=0)
+                    x = jnp.take(x_table, all_nodes, axis=0)
                     emb = pinsage.mlp_forward(params, x, self.compute_dtype)
+                elif use_dense:
+                    emb = pinsage.pooled_forward_batch_dense(
+                        params, x_table, list(pool_mats), all_nodes,
+                        dtype=self.compute_dtype,
+                        dropout_rate=cfg.model.dropout, dropout_rng=k_drop,
+                    )
                 else:
                     emb = pinsage.pooled_forward_batch(
-                        params, self.x_table, list(nbrs_l), list(w_l), all_nodes,
+                        params, x_table, list(nbrs_l), list(w_l), all_nodes,
                         valid_limit=self.valid_limit, dtype=self.compute_dtype,
                         dropout_rate=cfg.model.dropout, dropout_rng=k_drop,
                         aggregator=cfg.model.aggregator_type,
@@ -363,7 +398,8 @@ class Trainer:
         for s0 in range(0, batches.shape[0], block):
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, step_losses = self._run_steps(
-                self.params, self.opt_state, nbrs_l, w_l,
+                self.params, self.opt_state, self.x_table, nbrs_l, w_l,
+                self.pool_mats,
                 q_all[s0 : s0 + block], p_all[s0 : s0 + block],
                 k, jnp.float32(self.plateau.lr),
                 num_hard=num_hard, epoch_static=epoch,
@@ -395,12 +431,18 @@ class Trainer:
     # ---- inference / eval -------------------------------------------------
 
     @partial(jax.jit, static_argnames=("self",))
-    def _embed_all(self, params, nbrs_l: tuple, w_l: tuple) -> jax.Array:
-        emb = pinsage.pooled_forward(
-            params, self.x_table, list(nbrs_l), list(w_l),
-            valid_limit=self.valid_limit, dtype=self.compute_dtype,
-            aggregator=self.cfg.model.aggregator_type,
-        )
+    def _embed_all(self, params, x_table, nbrs_l: tuple, w_l: tuple,
+                   pool_mats: tuple) -> jax.Array:
+        if len(pool_mats) > 0:
+            emb = pinsage.pooled_forward_dense(
+                params, x_table, list(pool_mats), dtype=self.compute_dtype,
+            )
+        else:
+            emb = pinsage.pooled_forward(
+                params, x_table, list(nbrs_l), list(w_l),
+                valid_limit=self.valid_limit, dtype=self.compute_dtype,
+                aggregator=self.cfg.model.aggregator_type,
+            )
         return emb[: self.data.num_movies]
 
     def movie_embeddings(self, params=None) -> jax.Array:
@@ -412,7 +454,7 @@ class Trainer:
         params = params if params is not None else self.params
         nbrs_l = tuple(t[0] for t in self.nbr_tables)
         w_l = tuple(t[1] for t in self.nbr_tables)
-        return self._embed_all(params, nbrs_l, w_l)
+        return self._embed_all(params, self.x_table, nbrs_l, w_l, self.pool_mats)
 
     def evaluate(self, pairs: np.ndarray | None = None, params=None) -> dict[str, float]:
         pairs = self.test_pairs if pairs is None else pairs

@@ -88,6 +88,42 @@ def test_edge_forward_matches_manual_segment_sum(params):
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-5)
 
 
+def test_dense_pool_matrix_matches_importance_pool():
+    rng = np.random.default_rng(0)
+    n, k, d = 12, 4, 8
+    h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    nbrs = jnp.asarray(rng.integers(0, n + 2, (n, k)).astype(np.int32))  # some sentinels
+    w = jnp.asarray(rng.random((n, k)).astype(np.float32))
+    a = pinsage.dense_pool_matrix(nbrs, w, num_cols=n, valid_limit=n,
+                                  dtype=jnp.float32)
+    dense = a @ h
+    gathered = pinsage.importance_pool(h, nbrs, w, valid_limit=n,
+                                       dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gathered), atol=1e-5)
+    # Row sums: 1 for rows with any valid neighbor, 0 otherwise.
+    sums = np.asarray(a).sum(1)
+    assert ((np.abs(sums - 1) < 1e-5) | (sums == 0)).all()
+
+
+def test_dense_forward_matches_gather_forward(params):
+    rng = np.random.default_rng(1)
+    n, k = 10, 3
+    x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    nbrs = jnp.asarray(rng.integers(0, n, (n, k)).astype(np.int32))
+    w = jnp.asarray(rng.random((n, k)).astype(np.float32))
+    a = pinsage.dense_pool_matrix(nbrs, w, num_cols=n, dtype=jnp.float32)
+    full_g = pinsage.pooled_forward(params, x, [nbrs, nbrs], [w, w],
+                                    dtype=jnp.float32)
+    full_d = pinsage.pooled_forward_dense(params, x, [a, a], dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(full_d), np.asarray(full_g), atol=1e-5)
+    batch = jnp.array([1, 4, 7], dtype=jnp.int32)
+    part_g = pinsage.pooled_forward_batch(params, x, [nbrs, nbrs], [w, w],
+                                          batch, dtype=jnp.float32)
+    part_d = pinsage.pooled_forward_batch_dense(params, x, [a, a], batch,
+                                                dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(part_d), np.asarray(part_g), atol=1e-5)
+
+
 def test_forward_dispatch(params):
     x = jax.random.normal(jax.random.PRNGKey(5), (4, 16))
     mlp = pinsage.forward(params, x)
