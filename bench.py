@@ -85,12 +85,12 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
     # One jitted program scans all steps (matching train/trainer.py's
     # step-block design): a single dispatch, so host/tunnel round-trips do
     # not pollute the device throughput measurement.
-    # pool_mats passed as an argument — closure capture would bake the
-    # [N, N] matrices into the program as constants (oversized executables;
-    # the tunnel's remote-compile rejects them outright).
+    # Every array is an ARGUMENT — closure capture would bake tables into the
+    # program as constants (oversized executables + per-call re-upload over
+    # the remote tunnel distorts timing; remote-compile rejects big ones).
     @partial(jax.jit, static_argnames=("num_steps",), donate_argnames=("params", "opt_state"))
-    def run_steps(params, opt_state, pool_mats, q_blk, p_blk, rn_blk, hn_blk,
-                  num_steps):
+    def run_steps(params, opt_state, xj, nbrs_j, w_j, pool_mats,
+                  q_blk, p_blk, rn_blk, hn_blk, num_steps):
         def one_step(carry, inputs):
             params, opt_state = carry
             q, p, rn, hn = inputs
@@ -133,16 +133,19 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
         )
         return q, p, rn, hn
 
-    params, opt_state, loss = run_steps(params, opt_state, pool_mats,
-                                        *blocks(STEPS), num_steps=STEPS)
-    jax.block_until_ready(loss)   # absorb compile
+    # Warmup output params/opt feed the timed call — inputs are donated.
+    params, opt_state, loss = run_steps(
+        params, opt_state, xj, nbrs_j, w_j, pool_mats,
+        *blocks(STEPS), num_steps=STEPS)
+    _ = np.asarray(loss)   # absorb compile; force true materialization
 
     t0 = time.perf_counter()
-    params, opt_state, loss = run_steps(params, opt_state, pool_mats,
-                                        *blocks(STEPS), num_steps=STEPS)
-    jax.block_until_ready(loss)
+    params, opt_state, loss = run_steps(
+        params, opt_state, xj, nbrs_j, w_j, pool_mats,
+        *blocks(STEPS), num_steps=STEPS)
+    loss_host = np.asarray(loss)   # host materialization = hard sync
     dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt, float(loss[-1])
+    return BATCH * STEPS / dt, float(loss_host[-1])
 
 
 def bench_torch_baseline(x, nbrs, weights, rng, steps=6):

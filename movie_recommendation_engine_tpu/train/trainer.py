@@ -406,12 +406,14 @@ class Trainer:
             )
             losses_dev.append(step_losses)
             if t_after_first is None:
-                jax.block_until_ready(step_losses)   # absorb compile
+                # Host materialization is the only hard sync on the tunnel
+                # backend (block_until_ready can return early there).
+                np.asarray(step_losses)
                 t_after_first = time.perf_counter()
-        jax.block_until_ready(losses_dev[-1])
+        all_losses_list = [np.asarray(l) for l in losses_dev]
         t_end = time.perf_counter()
 
-        all_losses = np.concatenate([np.asarray(l) for l in losses_dev])[:s_total]
+        all_losses = np.concatenate(all_losses_list)[:s_total]
         bsz = int(batches.shape[1])
         n_timed_steps = batches.shape[0] - block
         timed_s = t_end - t_after_first
