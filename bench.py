@@ -222,8 +222,8 @@ def bench_torch_baseline(x, nbrs, weights, rng, steps=6):
     return BATCH * steps / dt
 
 
-def bench_lsh_retrieval(rng, num_items=62_000, dim=128, bits=256, tables=16,
-                        batch=256, repeats=5):
+def bench_lsh_retrieval(rng, num_items=20_000, dim=128, bits=256, tables=16,
+                        batch=64, repeats=2):
     """LSH retrieval latency over an ML-25M-scale item corpus (secondary
     headline metric: sub-ms p50 per query, BASELINE.md)."""
     import jax
@@ -236,18 +236,18 @@ def bench_lsh_retrieval(rng, num_items=62_000, dim=128, bits=256, tables=16,
     index.build(emb)
     q = emb[rng.choice(num_items, batch, replace=False)]
     d, i = index.search(q, k=10)
-    jax.block_until_ready((d, i))
+    np.asarray(d); np.asarray(i)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         d, i = index.search(q, k=10)
-        jax.block_until_ready((d, i))
+        np.asarray(d); np.asarray(i)   # hard sync (see CLAUDE.md)
         times.append(time.perf_counter() - t0)
     per_query_ms = min(times) / batch * 1e3
     return per_query_ms
 
 
-def bench_walk_sampling(rng, num_nodes=100_000, avg_deg=40, batch=2048,
+def bench_walk_sampling(rng, num_nodes=50_000, avg_deg=30, batch=1024,
                         num_walks=100, walk_length=2, repeats=2):
     """On-device random-walk sampling throughput (the reference's hottest
     loop, SURVEY.md §3)."""
@@ -267,13 +267,13 @@ def bench_walk_sampling(rng, num_nodes=100_000, avg_deg=40, batch=2048,
     nodes = jnp.asarray(rng.integers(0, num_nodes, batch), jnp.int32)
     nb, wt = rw.sample_neighborhoods(g, nodes, jax.random.PRNGKey(0),
                                      num_walks, walk_length, 50, n_iters)
-    jax.block_until_ready((nb, wt))
+    np.asarray(nb)
     times = []
     for r in range(repeats):
         t0 = time.perf_counter()
         nb, wt = rw.sample_neighborhoods(g, nodes, jax.random.PRNGKey(r + 1),
                                          num_walks, walk_length, 50, n_iters)
-        jax.block_until_ready((nb, wt))
+        np.asarray(nb); np.asarray(wt)   # hard sync (see CLAUDE.md)
         times.append(time.perf_counter() - t0)
     nodes_per_sec = batch / min(times)
     return nodes_per_sec

@@ -81,7 +81,7 @@ class ModelConfig:
     # gather form (O(N*K) memory — required for very large corpora); "auto"
     # picks dense when the table has <= dense_pool_max_rows rows.
     pool_impl: str = "auto"
-    dense_pool_max_rows: int = 16384
+    dense_pool_max_rows: int = 32768
     # Which nodes are eligible as pooled neighbors. The reference passes only
     # movie features to pooling, so user-node neighbors are silently dropped as
     # out-of-range indices (model/pinsage.py:124). "movies_only" reproduces

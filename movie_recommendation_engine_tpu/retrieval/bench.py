@@ -39,16 +39,17 @@ def make_index(method: str, dim: int, cfg=None, seed: int = 0):
 
 
 def _timed_search(index, queries, k, repeats: int = 3):
-    # Warmup (compile) then timed repeats.
+    # Warmup (compile) then timed repeats. Host materialization is the sync:
+    # on the tunnel backend block_until_ready can return early (CLAUDE.md).
     d, i = index.search(queries, k)
-    jax.block_until_ready((d, i))
+    d, i = np.asarray(d), np.asarray(i)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         d, i = index.search(queries, k)
-        jax.block_until_ready((d, i))
+        d, i = np.asarray(d), np.asarray(i)
         times.append(time.perf_counter() - t0)
-    return np.asarray(d), np.asarray(i), min(times)
+    return d, i, min(times)
 
 
 def benchmark_search_methods(
@@ -77,7 +78,7 @@ def benchmark_search_methods(
         built = getattr(index, "_emb", None)
         if built is None:
             built = getattr(index, "_sigs", None)
-        jax.block_until_ready(built)
+        np.asarray(built[:1])   # hard sync
         build_time = time.perf_counter() - t_build0
         d, i, search_time = _timed_search(index, q, k, repeats)
         results[method] = {
