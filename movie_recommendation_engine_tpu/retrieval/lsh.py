@@ -67,10 +67,25 @@ class LSHIndex:
         return 0 if self._sigs is None else int(self._sigs.shape[0])
 
     def _signatures(self, x: jax.Array) -> jax.Array:
-        """[N, D] -> packed [N, T, W] uint32."""
-        proj = jnp.einsum("nd,tdb->ntb", x, self.planes,
-                          preferred_element_type=jnp.float32)
-        return _pack_bits(proj >= 0)
+        """[N, D] -> packed [N, T, W] uint32.
+
+        Chunked over rows: one [C, D] x [D, T*B] matmul per chunk, signs
+        packed immediately — the full [N, T, B] f32 projection (1 GB at
+        ML-25M scale) never materializes."""
+        t, d, b = self.planes.shape
+        planes_flat = self.planes.transpose(1, 0, 2).reshape(d, t * b)
+        n = x.shape[0]
+        chunk = 4096
+        pad = (-n) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+
+        def body(_, xc):
+            proj = jnp.dot(xc, planes_flat, preferred_element_type=jnp.float32)
+            sig = _pack_bits((proj >= 0).reshape(xc.shape[0], t, b))
+            return _, sig
+
+        _, sigs = jax.lax.scan(body, None, xp.reshape(-1, chunk, d))
+        return sigs.reshape(-1, t, b // 32)[:n]
 
     def build(self, embeddings) -> None:
         x = jnp.asarray(embeddings, dtype=jnp.float32)
