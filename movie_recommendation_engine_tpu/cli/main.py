@@ -58,10 +58,13 @@ def _make_trainer(cfg: Config, logger: MetricsLogger):
 
 
 def cmd_train(cfg: Config, args) -> int:
+    from ..core.logging import trace
+
     logger = MetricsLogger()
     tr = _make_trainer(cfg, logger)
     resume = os.path.join(cfg.paths.checkpoint_dir, "last_model") if args.resume else None
-    result = tr.fit(resume_from=resume)
+    with trace(args.profile):
+        result = tr.fit(resume_from=resume)
     logger.log("done", best_metric=result["best_metric"])
     return 0
 
@@ -218,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="benchmark query count")
     ap.add_argument("--use-saved-embeddings", action="store_true")
     ap.add_argument("--save-csv", action="store_true")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of training to DIR")
     ap.add_argument("--platform", choices=["cpu", "tpu", "axon", "default"],
                     default="default",
                     help="force the JAX platform (overrides env/plugins)")

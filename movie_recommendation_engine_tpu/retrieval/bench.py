@@ -3,9 +3,8 @@
 Mirrors the reference's ``benchmark_search_methods``
 (utils/nearest_neighbors.py:141-254): times each method, reports index size,
 and computes recall@k of each approximate method against exact search.
-Latency here is measured properly for an async device: results are
-block_until_ready'd, with a warmup call excluded (the first call pays XLA
-compilation)."""
+Latency is measured with a hard host-materialization sync and a warmup call
+excluded (the first call pays XLA compilation)."""
 
 from __future__ import annotations
 

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="ml1m", choices=["small", "ml1m"])
+    ap.add_argument("--scale", default="ml1m", choices=["small", "ml1m", "ml25m"])
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--platform", default="default")
     ap.add_argument("--out", default="RESULTS.md")
@@ -45,10 +45,15 @@ def main():
         cfg.data.synthetic_num_movies = 800
         cfg.data.synthetic_num_users = 2000
         cfg.data.synthetic_num_ratings = 100_000
-    else:  # ml1m-shaped: ~3.7k movies, 6k users, 1M ratings
+    elif args.scale == "ml1m":  # ~3.7k movies, 6k users, 1M ratings
         cfg.data.synthetic_num_movies = 3700
         cfg.data.synthetic_num_users = 6000
         cfg.data.synthetic_num_ratings = 1_000_000
+    else:  # ml25m-shaped: 59k movies, 162k users (gather pooling path)
+        cfg.data.synthetic_num_movies = 59_000
+        cfg.data.synthetic_num_users = 162_000
+        cfg.data.synthetic_num_ratings = 8_000_000
+        cfg.train.max_pairs_per_epoch = 20_000
     cfg.train.epochs = args.epochs
     cfg.train.max_pairs_per_epoch = 50_000
     cfg.model.dropout = 0.0
