@@ -55,7 +55,11 @@ def trace(log_dir: str | None):
 
 
 class StepTimer:
-    """Wall-clock per-step timing with warmup exclusion."""
+    """Wall-clock timing with warmup exclusion.
+
+    NOTE: on the tunnel TPU backend, wrap a hard host sync (np.asarray of a
+    result) inside the timed region — block_until_ready can return early
+    there (see CLAUDE.md)."""
 
     def __init__(self, warmup: int = 2):
         self.warmup = warmup

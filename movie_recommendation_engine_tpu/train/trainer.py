@@ -1,12 +1,14 @@
 """Training runtime: jitted PinSage train step, epoch driver, checkpoint/resume.
 
 This implements the reference's *documented* training design (README:130-168;
-SURVEY.md §7 hard part 4): max-margin / curriculum loss over random + rank-window
-hard negatives on importance-pooled graph embeddings — the components the
-reference constructs (run.py:97-122) but never wires into its shipped loop
-(train.py:8-124). The shipped simplified loop (MLP path + negative-mean-cosine
-objective) is also available via ``cfg.train.train_path = "mlp"`` for strict
-parity runs.
+SURVEY.md §7 hard part 4): contrastive training over random + rank-window hard
+negatives on importance-pooled graph embeddings — the components the reference
+constructs (run.py:97-122) but never wires into its shipped loop
+(train.py:8-124). The default objective is sampled-softmax NCE
+(models/losses.nce_loss — the reference's max-margin hinge provably collapses;
+set ``train.loss = "curriculum"``/"max_margin" for parity). The shipped
+simplified loop (MLP path + negative-mean-cosine objective) is available via
+``cfg.train.train_path = "mlp"``.
 
 TPU design:
 - Neighborhood tables ([N, K] ids + weights per layer) are sampled on device
