@@ -62,6 +62,24 @@ def build_item_similarity_graph(
     m = np.asarray(movie_idx, dtype=np.int64)
     order = np.argsort(u, kind="stable")
     u_s, m_s = u[order], m[order]
+
+    if max_items_per_user is None:
+        # Exact counting: native C++ counter (cpp/cooc.cc) when available —
+        # the per-user pair loop is the reference's host hot loop #5.
+        try:
+            from ..utils import cooc_native
+
+            i, j, w_half = cooc_native.count_cooccurrence(
+                u_s, m_s, num_movies, threshold
+            )
+            edge_index = np.stack([
+                np.concatenate([i, j]), np.concatenate([j, i]),
+            ])
+            w = np.concatenate([w_half, w_half]).astype(np.float32)
+            return csr_from_edge_index(edge_index, w, num_nodes=num_movies)
+        except Exception:  # noqa: BLE001 — no toolchain: numpy fallback below
+            pass
+
     # Group boundaries per user.
     boundaries = np.flatnonzero(np.diff(u_s)) + 1
     starts = np.concatenate([[0], boundaries])
@@ -80,7 +98,8 @@ def build_item_similarity_graph(
         a, b = items[ii], items[jj]
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
-        pair_keys.append(lo * num_movies + hi)
+        keep_pairs = lo != hi   # duplicate ratings must not create self-loops
+        pair_keys.append((lo * num_movies + hi)[keep_pairs])
 
     if not pair_keys:
         return csr_from_edge_index(np.zeros((2, 0), dtype=np.int64), None, num_nodes=num_movies)
