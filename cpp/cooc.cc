@@ -38,8 +38,28 @@ extern "C" {
 void* cooc_count(const int64_t* user_idx, const int64_t* movie_idx,
                  long long n, long long num_movies, int threshold,
                  int max_items_per_user) {
-  std::unordered_map<uint64_t, uint32_t> counts;
-  counts.reserve(1 << 20);
+  // Sort-based counting: materialize every pair key, sort, run-length
+  // encode. Beats hash-map counting by a wide margin at this scale (sorting
+  // 64-bit keys is cache-friendly; hashing 50M keys is not).
+  std::vector<uint64_t> keys;
+  {
+    // First pass: total pair count for one exact reservation.
+    size_t total = 0;
+    long long i = 0;
+    while (i < n) {
+      long long j = i;
+      const int64_t u = user_idx[i];
+      while (j < n && user_idx[j] == u) ++j;
+      size_t g = static_cast<size_t>(j - i);
+      if (max_items_per_user > 0 &&
+          g > static_cast<size_t>(max_items_per_user)) {
+        g = static_cast<size_t>(max_items_per_user);
+      }
+      total += g * (g - 1) / 2;
+      i = j;
+    }
+    keys.reserve(total);
+  }
 
   long long i = 0;
   std::vector<int64_t> items;
@@ -55,23 +75,32 @@ void* cooc_count(const int64_t* user_idx, const int64_t* movie_idx,
       ++j;
     }
     for (size_t a = 0; a < items.size(); ++a) {
+      const int64_t ia = items[a];
       for (size_t b = a + 1; b < items.size(); ++b) {
-        int64_t lo = items[a], hi = items[b];
+        int64_t lo = ia, hi = items[b];
         if (lo == hi) continue;
         if (lo > hi) std::swap(lo, hi);
-        counts[static_cast<uint64_t>(lo) * num_movies + hi] += 1;
+        keys.push_back(static_cast<uint64_t>(lo) * num_movies + hi);
       }
     }
     i = j;
   }
 
+  std::sort(keys.begin(), keys.end());
+
   auto* out = new CoocResult();
-  for (const auto& kv : counts) {
-    if (kv.second >= static_cast<uint32_t>(threshold)) {
-      out->src.push_back(static_cast<int32_t>(kv.first / num_movies));
-      out->dst.push_back(static_cast<int32_t>(kv.first % num_movies));
-      out->weight.push_back(static_cast<float>(kv.second));
+  const size_t m = keys.size();
+  size_t run = 0;
+  while (run < m) {
+    size_t end = run + 1;
+    while (end < m && keys[end] == keys[run]) ++end;
+    const size_t cnt = end - run;
+    if (cnt >= static_cast<size_t>(threshold)) {
+      out->src.push_back(static_cast<int32_t>(keys[run] / num_movies));
+      out->dst.push_back(static_cast<int32_t>(keys[run] % num_movies));
+      out->weight.push_back(static_cast<float>(cnt));
     }
+    run = end;
   }
   return out;
 }
