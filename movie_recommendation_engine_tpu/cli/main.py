@@ -107,7 +107,11 @@ def _load_or_compute_embeddings(cfg: Config, args, logger):
     emb_path = os.path.join(cfg.paths.output_dir, "movie_embeddings.npz")
     tr = _make_trainer(cfg, logger)
     path = args.checkpoint or os.path.join(cfg.paths.checkpoint_dir, "best_model")
-    if os.path.exists(path + ".npz"):
+    if path.endswith(".pt") and os.path.exists(path):
+        from ..utils.torch_import import load_torch_checkpoint
+
+        tr.params, _ = load_torch_checkpoint(path)
+    elif os.path.exists(path + ".npz"):
         tr.load_checkpoint(path)
     if args.use_saved_embeddings and os.path.exists(emb_path):
         emb, movie_ids = ckpt.load_embeddings(emb_path)
