@@ -77,11 +77,16 @@ class ModelConfig:
     use_batch_norm: bool = False
     # Pooling implementation: "dense" turns importance pooling into a
     # row-stochastic [N, N] bf16 matmul on the MXU (~50x faster than the
-    # irregular [B, K, D] row gather on TPU, measured); "gather" keeps the
-    # gather form (O(N*K) memory — required for very large corpora); "auto"
-    # picks dense when the table has <= dense_pool_max_rows rows.
+    # irregular [B, K, D] row gather on TPU, measured); "hybrid" uses the
+    # dense matmul for the full-graph layers 0..L-2 only (one [N, N] bf16
+    # matrix instead of L — the memory that matters at ML-25M scale) and the
+    # cheap batch-restricted gather for the final layer; "gather" keeps the
+    # gather form everywhere (O(N*K) memory — required for very large
+    # corpora); "auto" picks dense <= dense_pool_max_rows rows, hybrid
+    # <= dense_pool_hybrid_max_rows, else gather.
     pool_impl: str = "auto"
     dense_pool_max_rows: int = 32768
+    dense_pool_hybrid_max_rows: int = 65536
     # Which nodes are eligible as pooled neighbors. The reference passes only
     # movie features to pooling, so user-node neighbors are silently dropped as
     # out-of-range indices (model/pinsage.py:124). "movies_only" reproduces

@@ -208,6 +208,41 @@ def dense_pool_matrix(
     return a.astype(dtype)
 
 
+def build_pool_matrix_chunked(
+    nbrs: jax.Array,      # [N, K] int32
+    weights: jax.Array,   # [N, K] f32
+    num_cols: int,
+    valid_limit: int | None = None,
+    dtype=jnp.bfloat16,
+    row_chunk: int = 8192,
+) -> jax.Array:
+    """``dense_pool_matrix`` built in row chunks directly into a ``dtype``
+    buffer: the peak f32 scatter intermediate is [row_chunk, num_cols]
+    instead of [N, num_cols]. At ML-25M scale (59k rows) the one-shot f32
+    build needs 13.9 GB; this builds the 7 GB bf16 matrix with ~2 GB of
+    transient, which is what makes the dense MXU pooling path viable there
+    (see pooled_forward_batch's hybrid mode)."""
+    n = int(nbrs.shape[0])
+    if n <= row_chunk:
+        return dense_pool_matrix(nbrs, weights, num_cols, valid_limit, dtype)
+
+    @partial(jax.jit, static_argnames=("num_cols", "valid_limit"), donate_argnums=(0,))
+    def _write(buf, nb, w, start, num_cols, valid_limit):
+        chunk = dense_pool_matrix(nb, w, num_cols, valid_limit, buf.dtype)
+        return jax.lax.dynamic_update_slice(buf, chunk, (start, 0))
+
+    # Pad the row count so every chunk has one static shape (2 compiles max).
+    pad = (-n) % row_chunk
+    if pad:
+        nbrs = jnp.pad(nbrs, ((0, pad), (0, 0)), constant_values=num_cols)
+        weights = jnp.pad(weights, ((0, pad), (0, 0)))
+    buf = jnp.zeros((n + pad, num_cols), dtype=dtype)
+    for s in range(0, n + pad, row_chunk):
+        buf = _write(buf, nbrs[s : s + row_chunk], weights[s : s + row_chunk],
+                     jnp.int32(s), num_cols, valid_limit)
+    return buf[:n] if pad else buf
+
+
 def pooled_forward_dense(
     params: Params,
     x_table: jax.Array,
@@ -297,15 +332,31 @@ def pooled_forward(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     aggregator: str = "importance",
+    pool_mats: tuple | list = (),
 ) -> jax.Array:
     """Full-graph forward: embeddings for every row of ``x_table``.
 
     Equivalent of PinSage.get_embeddings (model/pinsage.py:253-279) with
     per-layer neighborhood tables. ``dropout_rate`` honors the reference's
     declared-but-unused DROPOUT knob (config.py:24) when an rng is supplied.
+
+    ``pool_mats`` may supply dense pooling matrices for a PREFIX of the
+    layers (hybrid mode): layer i < len(pool_mats) pools via the MXU matmul
+    A_i @ h, the remaining layers via the gather aggregator. Used when the
+    full set of [N, N] matrices doesn't fit HBM but one does (the ML-25M
+    regime — the layer-0 full-graph gather dominates step time there).
     """
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
     for i, conv in enumerate(params["convs"]):
+        if i < len(pool_mats):
+            h_neigh = jnp.dot(pool_mats[i].astype(dtype), h.astype(dtype),
+                              preferred_element_type=jnp.float32).astype(dtype)
+            h = _conv_block(conv, h, h_neigh, dtype)
+            if dropout_rate > 0.0 and dropout_rng is not None:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+            continue
         nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
         w = layer_weights[min(i, len(layer_weights) - 1)]
         h_neigh = aggregators.aggregate(
@@ -331,21 +382,31 @@ def pooled_forward_batch(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     aggregator: str = "importance",
+    pool_mats: tuple | list = (),
 ) -> jax.Array:
     """Training-step forward: layers 0..L-2 run full-graph (their outputs are
     the gather table for the next layer); only the final conv + output proj
     are restricted to ``batch_nodes``. For the default L=2 this is one
     full-graph conv + one batch-sized conv — all MXU-shaped matmuls, no
-    host work."""
+    host work.
+
+    ``pool_mats`` (hybrid mode, see ``pooled_forward``): dense MXU pooling
+    for a prefix of the layers. With L=2 and one matrix this removes the
+    dominant [N, K, D] full-graph gather; the final layer's batch-restricted
+    [B, K, D] gather is cheap."""
     convs = params["convs"]
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
     for i, conv in enumerate(convs[:-1]):
-        nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
-        w = layer_weights[min(i, len(layer_weights) - 1)]
-        h_neigh = aggregators.aggregate(
-            aggregator, conv.get("agg"), h, nbrs, w,
-            self_feats=h, valid_limit=valid_limit, dtype=dtype,
-        ).astype(dtype)
+        if i < len(pool_mats):
+            h_neigh = jnp.dot(pool_mats[i].astype(dtype), h.astype(dtype),
+                              preferred_element_type=jnp.float32).astype(dtype)
+        else:
+            nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
+            w = layer_weights[min(i, len(layer_weights) - 1)]
+            h_neigh = aggregators.aggregate(
+                aggregator, conv.get("agg"), h, nbrs, w,
+                self_feats=h, valid_limit=valid_limit, dtype=dtype,
+            ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
         if dropout_rate > 0.0 and dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
@@ -353,15 +414,20 @@ def pooled_forward_batch(
             h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
     last = convs[-1]
     li = len(convs) - 1
-    nbrs = layer_neighbors[min(li, len(layer_neighbors) - 1)]
-    w = layer_weights[min(li, len(layer_weights) - 1)]
-    bn = jnp.take(nbrs, batch_nodes, axis=0, mode="clip")
-    bw = jnp.take(w, batch_nodes, axis=0, mode="clip")
     h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
-    h_neigh = aggregators.aggregate(
-        aggregator, last.get("agg"), h, bn, bw,
-        self_feats=h_batch, valid_limit=valid_limit, dtype=dtype,
-    ).astype(dtype)
+    if li < len(pool_mats):
+        a_batch = jnp.take(pool_mats[li], batch_nodes, axis=0, mode="clip")
+        h_neigh = jnp.dot(a_batch.astype(dtype), h.astype(dtype),
+                          preferred_element_type=jnp.float32).astype(dtype)
+    else:
+        nbrs = layer_neighbors[min(li, len(layer_neighbors) - 1)]
+        w = layer_weights[min(li, len(layer_weights) - 1)]
+        bn = jnp.take(nbrs, batch_nodes, axis=0, mode="clip")
+        bw = jnp.take(w, batch_nodes, axis=0, mode="clip")
+        h_neigh = aggregators.aggregate(
+            aggregator, last.get("agg"), h, bn, bw,
+            self_feats=h_batch, valid_limit=valid_limit, dtype=dtype,
+        ).astype(dtype)
     h_out = _conv_block(last, h_batch, h_neigh, dtype)
     return l2_normalize(linear(params["output_proj"], h_out, dtype).astype(jnp.float32))
 

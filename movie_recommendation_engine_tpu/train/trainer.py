@@ -203,25 +203,37 @@ class Trainer:
         self.nbr_tables = tables
 
         # Dense pooling matrices (MXU path) when the corpus is small enough
-        # and the aggregator is linear pooling.
+        # and the aggregator is linear pooling. "hybrid" keeps ONE [N, N]
+        # matrix per full-graph layer (0..L-2) and leaves the final layer on
+        # the batch-restricted gather — at ML-25M scale (59k rows) the full
+        # dense set (2 x 7 GB bf16) doesn't fit HBM but the hybrid's single
+        # matrix does, and it removes the step-dominating full-graph gather.
         self.pool_mats = ()
+        n_dense = 0
         impl = cfg.model.pool_impl
-        use_dense = (
+        n_layers = cfg.model.num_layers
+        eligible = (
             cfg.model.aggregator_type == "importance"
             and cfg.train.train_path != "mlp"
-            and (impl == "dense"
-                 or (impl == "auto"
-                     and self.table_rows <= cfg.model.dense_pool_max_rows))
         )
-        if use_dense:
-            build = jax.jit(
-                pinsage.dense_pool_matrix,
-                static_argnames=("num_cols", "valid_limit"),
-            )
+        if eligible:
+            if impl == "dense" or (
+                impl == "auto" and self.table_rows <= cfg.model.dense_pool_max_rows
+            ):
+                n_dense = n_layers
+            elif n_layers > 1 and (
+                impl == "hybrid"
+                or (impl == "auto"
+                    and self.table_rows <= cfg.model.dense_pool_hybrid_max_rows)
+            ):
+                n_dense = n_layers - 1
+        if n_dense:
             mats = []
-            for nbrs, w in tables:
-                a = build(nbrs, w, num_cols=self.table_rows,
-                          valid_limit=self.valid_limit)
+            for nbrs, w in tables[:n_dense]:
+                a = pinsage.build_pool_matrix_chunked(
+                    nbrs, w, num_cols=self.table_rows,
+                    valid_limit=self.valid_limit,
+                )
                 if self.mesh is not None:
                     a = jax.device_put(a, self._row_sharding)
                 mats.append(a)
@@ -257,7 +269,7 @@ class Trainer:
     ):
         cfg = self.cfg
         num_rand = min(cfg.train.num_negative_samples, self.data.num_movies)
-        use_dense = len(pool_mats) > 0
+        use_dense = len(pool_mats) == cfg.model.num_layers
 
         def one_step(carry, inputs):
             params, opt_state = carry
@@ -299,6 +311,7 @@ class Trainer:
                         valid_limit=self.valid_limit, dtype=self.compute_dtype,
                         dropout_rate=cfg.model.dropout, dropout_rng=k_drop,
                         aggregator=cfg.model.aggregator_type,
+                        pool_mats=pool_mats,
                     )
                 q_emb, p_emb = emb[:b], emb[b : 2 * b]
                 r_emb = emb[2 * b : 2 * b + num_rand]
@@ -437,7 +450,7 @@ class Trainer:
     @partial(jax.jit, static_argnames=("self",))
     def _embed_all(self, params, x_table, nbrs_l: tuple, w_l: tuple,
                    pool_mats: tuple) -> jax.Array:
-        if len(pool_mats) > 0:
+        if len(pool_mats) == self.cfg.model.num_layers:
             emb = pinsage.pooled_forward_dense(
                 params, x_table, list(pool_mats), dtype=self.compute_dtype,
             )
@@ -446,6 +459,7 @@ class Trainer:
                 params, x_table, list(nbrs_l), list(w_l),
                 valid_limit=self.valid_limit, dtype=self.compute_dtype,
                 aggregator=self.cfg.model.aggregator_type,
+                pool_mats=pool_mats,
             )
         return emb[: self.data.num_movies]
 

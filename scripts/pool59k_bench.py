@@ -1,0 +1,88 @@
+"""A/B step-time benchmark at ML-25M scale (59k movies): hybrid dense-MXU
+pooling vs the gather form.
+
+The gather form's full-graph [N, K, D] row gather is HBM-bound at ~45 GB/s
+effective (CLAUDE.md); hybrid mode replaces it with one resident [N, N] bf16
+row-stochastic matmul on the MXU (models/pinsage.build_pool_matrix_chunked)
+while the final layer keeps the cheap batch-restricted gather.
+
+Usage: python scripts/pool59k_bench.py [--impls hybrid,gather] [--epochs 2]
+Run on the TPU (default platform). One process; variants run sequentially in
+the same Trainer so the graph/device arrays are shared.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", default="hybrid,gather")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--max-pairs", type=int, default=50_000)
+    ap.add_argument("--platform", default="default")
+    args = ap.parse_args()
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from movie_recommendation_engine_tpu import default_config
+    from movie_recommendation_engine_tpu.core.logging import MetricsLogger
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = default_config()
+    cfg.data.source = "synthetic"
+    cfg.data.use_data_subset = False
+    cfg.data.synthetic_num_movies = 59_000
+    cfg.data.synthetic_num_users = 162_000
+    cfg.data.synthetic_num_ratings = 8_000_000
+    cfg.train.epochs = args.epochs
+    cfg.train.max_pairs_per_epoch = args.max_pairs
+    cfg.model.dropout = 0.0
+    cfg.eval.eval_every = 0  # pure step timing
+    cfg.paths.checkpoint_dir = "/tmp/pool59k_ck"
+    cfg.paths.output_dir = "/tmp/pool59k_out"
+
+    t0 = time.time()
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data, MetricsLogger())
+    print(f"setup {time.time()-t0:.1f}s; device={jax.devices()[0]}", flush=True)
+
+    results = {}
+    for impl in args.impls.split(","):
+        tr.cfg.model.pool_impl = impl
+        tr.nbr_tables = None  # force refresh (rebuilds pool_mats per impl)
+        tr.pool_mats = ()
+        stats_all = []
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            stats = tr.train_epoch(epoch)
+            stats["wall_s"] = round(time.time() - t0, 2)
+            stats["impl"] = impl
+            stats["epoch"] = epoch
+            print(json.dumps(stats, default=float), flush=True)
+            stats_all.append(stats)
+        # Steady-state epoch (last one; first includes compiles).
+        results[impl] = stats_all[-1]
+
+    print("== summary ==")
+    for impl, s in results.items():
+        print(f"{impl}: {s['step_ms_p50']:.1f} ms/step p50, "
+              f"{s['examples_per_sec']:.0f} examples/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,10 @@ def main():
         cfg.data.synthetic_num_movies = 3700
         cfg.data.synthetic_num_users = 6000
         cfg.data.synthetic_num_ratings = 1_000_000
-    else:  # ml25m-shaped: 59k movies, 162k users (gather pooling path)
+    else:  # ml25m-shaped: 59k movies, 162k users (hybrid pooling path)
         cfg.data.synthetic_num_movies = 59_000
         cfg.data.synthetic_num_users = 162_000
         cfg.data.synthetic_num_ratings = 8_000_000
-        cfg.train.max_pairs_per_epoch = 20_000
     cfg.train.epochs = args.epochs
     cfg.train.max_pairs_per_epoch = 50_000
     cfg.model.dropout = 0.0

@@ -55,3 +55,55 @@ def test_trainer_dense_matches_gather(tmp_path):
     np.testing.assert_allclose(losses_d, losses_g, rtol=5e-3)
     cos = (emb_d * emb_g).sum(axis=1)
     assert cos.min() > 0.995
+
+
+def test_trainer_hybrid_matches_gather(tmp_path):
+    losses_h, emb_h = _train_once("hybrid", tmp_path)
+    losses_g, emb_g = _train_once("gather", tmp_path)
+    np.testing.assert_allclose(losses_h, losses_g, rtol=5e-3)
+    cos = (emb_h * emb_g).sum(axis=1)
+    assert cos.min() > 0.995
+
+
+def test_hybrid_forward_matches_gather():
+    """pool_mats covering a prefix of the layers must not change the math."""
+    rng = np.random.default_rng(1)
+    n, f, h, e, k = 17, 8, 16, 8, 4
+    params = pinsage.init_params(jax.random.PRNGKey(1), f, h, e, num_layers=3)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    nbrs_l, w_l, mats = [], [], []
+    for _ in range(3):
+        nb = jnp.asarray(rng.integers(0, n + 1, (n, k)).astype(np.int32))
+        w = jnp.asarray(rng.random((n, k)).astype(np.float32))
+        nbrs_l.append(nb)
+        w_l.append(w)
+        mats.append(pinsage.dense_pool_matrix(nb, w, num_cols=n, dtype=jnp.float32))
+    ref = pinsage.pooled_forward(params, x, nbrs_l, w_l, dtype=jnp.float32)
+    hyb = pinsage.pooled_forward(params, x, nbrs_l, w_l, dtype=jnp.float32,
+                                 pool_mats=mats[:2])
+    np.testing.assert_allclose(np.asarray(hyb), np.asarray(ref), atol=1e-5)
+
+    batch = jnp.array([0, 3, 16], dtype=jnp.int32)
+    ref_b = pinsage.pooled_forward_batch(params, x, nbrs_l, w_l, batch,
+                                         dtype=jnp.float32)
+    hyb_b = pinsage.pooled_forward_batch(params, x, nbrs_l, w_l, batch,
+                                         dtype=jnp.float32, pool_mats=mats[:2])
+    np.testing.assert_allclose(np.asarray(hyb_b), np.asarray(ref_b), atol=1e-5)
+    # Full-length pool_mats in the batch form == the dedicated dense form.
+    all_b = pinsage.pooled_forward_batch(params, x, nbrs_l, w_l, batch,
+                                         dtype=jnp.float32, pool_mats=mats)
+    dense_b = pinsage.pooled_forward_batch_dense(params, x, mats, batch,
+                                                 dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(all_b), np.asarray(dense_b), atol=1e-5)
+
+
+def test_chunked_pool_matrix_builder():
+    rng = np.random.default_rng(2)
+    n, k, cols = 37, 5, 41
+    nb = jnp.asarray(rng.integers(0, cols + 1, (n, k)).astype(np.int32))
+    w = jnp.asarray(rng.random((n, k)).astype(np.float32))
+    ref = pinsage.dense_pool_matrix(nb, w, num_cols=cols, valid_limit=30)
+    chunked = pinsage.build_pool_matrix_chunked(nb, w, num_cols=cols,
+                                                valid_limit=30, row_chunk=8)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(ref))
+    assert chunked.dtype == jnp.bfloat16
