@@ -162,6 +162,12 @@ class EvalConfig:
     mrr_scale: float = 100.0           # evaluation.py:69 — 1/(rank/100)
     # Co-rated item-item eval pairs: min rating threshold (run.py:198).
     corated_min_rating: float = 4.0
+    # Cap on PER-EPOCH validation pairs (fixed-seed subsample). At ML-25M
+    # scale full validation (379k pairs x 59k corpus) costs more wall clock
+    # than the training epoch itself; 50-100k pairs gives the same metric to
+    # ~3 decimals. None = evaluate every validation pair. Final/test
+    # evaluation is never capped.
+    max_val_pairs: int | None = None
 
 
 @dataclass

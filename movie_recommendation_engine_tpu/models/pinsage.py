@@ -208,6 +208,33 @@ def dense_pool_matrix(
     return a.astype(dtype)
 
 
+def dense_pool_matrix_direct(
+    nbrs: jax.Array,
+    weights: jax.Array,
+    num_cols: int,
+    valid_limit: int | None = None,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """``dense_pool_matrix`` scattering straight into a ``dtype`` buffer —
+    ONE resident [N, num_cols] allocation (7 GB bf16 at ML-25M scale) with no
+    f32 intermediate and no cross-call donation (buffer aliasing is not
+    honored over the remote-PJRT tunnel, which double-buffers a chunked
+    build into OOM). Exact when each row's neighbor ids are unique — true
+    for tables from ``importance_neighborhoods`` (RLE'd top-k); duplicate
+    ids would accumulate in ``dtype`` instead of f32."""
+    n, k = nbrs.shape
+    limit = num_cols if valid_limit is None else min(valid_limit, num_cols)
+    valid = nbrs < limit
+    w = jnp.where(valid, weights, 0.0)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
+    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32)[:, None], k, axis=1)
+    a = jnp.zeros((n, num_cols), dtype=dtype)
+    return a.at[rows.reshape(-1), jnp.minimum(nbrs, num_cols - 1).reshape(-1)].add(
+        w.reshape(-1).astype(dtype)
+    )
+
+
 def build_pool_matrix_chunked(
     nbrs: jax.Array,      # [N, K] int32
     weights: jax.Array,   # [N, K] f32
@@ -216,31 +243,19 @@ def build_pool_matrix_chunked(
     dtype=jnp.bfloat16,
     row_chunk: int = 8192,
 ) -> jax.Array:
-    """``dense_pool_matrix`` built in row chunks directly into a ``dtype``
-    buffer: the peak f32 scatter intermediate is [row_chunk, num_cols]
-    instead of [N, num_cols]. At ML-25M scale (59k rows) the one-shot f32
-    build needs 13.9 GB; this builds the 7 GB bf16 matrix with ~2 GB of
-    transient, which is what makes the dense MXU pooling path viable there
-    (see pooled_forward_batch's hybrid mode)."""
+    """Memory-bounded ``dense_pool_matrix``: small tables keep the
+    f32-accumulate build; large tables scatter straight into the ``dtype``
+    buffer (``dense_pool_matrix_direct``) so peak memory is the one [N,
+    num_cols] output (7 GB bf16 at ML-25M scale) instead of the 13.9 GB f32
+    intermediate. This is what makes the dense MXU pooling path viable at
+    59k rows (pooled_forward_batch's hybrid mode)."""
     n = int(nbrs.shape[0])
     if n <= row_chunk:
         return dense_pool_matrix(nbrs, weights, num_cols, valid_limit, dtype)
-
-    @partial(jax.jit, static_argnames=("num_cols", "valid_limit"), donate_argnums=(0,))
-    def _write(buf, nb, w, start, num_cols, valid_limit):
-        chunk = dense_pool_matrix(nb, w, num_cols, valid_limit, buf.dtype)
-        return jax.lax.dynamic_update_slice(buf, chunk, (start, 0))
-
-    # Pad the row count so every chunk has one static shape (2 compiles max).
-    pad = (-n) % row_chunk
-    if pad:
-        nbrs = jnp.pad(nbrs, ((0, pad), (0, 0)), constant_values=num_cols)
-        weights = jnp.pad(weights, ((0, pad), (0, 0)))
-    buf = jnp.zeros((n + pad, num_cols), dtype=dtype)
-    for s in range(0, n + pad, row_chunk):
-        buf = _write(buf, nbrs[s : s + row_chunk], weights[s : s + row_chunk],
-                     jnp.int32(s), num_cols, valid_limit)
-    return buf[:n] if pad else buf
+    build = jax.jit(dense_pool_matrix_direct,
+                    static_argnames=("num_cols", "valid_limit", "dtype"))
+    return build(nbrs, weights, num_cols=num_cols, valid_limit=valid_limit,
+                 dtype=dtype)
 
 
 def pooled_forward_dense(

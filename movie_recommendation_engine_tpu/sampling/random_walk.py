@@ -212,6 +212,67 @@ def sample_neighborhoods(
                                     restrict_below)
 
 
+@partial(jax.jit, static_argnames=(
+    "num_layers", "num_walks", "walk_length", "num_neighbors", "n_iters",
+    "restrict_below"))
+def _multilayer_neighborhoods(
+    graph: DeviceGraph,
+    nodes: jax.Array,
+    key: jax.Array,
+    num_layers: int,
+    num_walks: int,
+    walk_length: int,
+    num_neighbors: int,
+    n_iters: int,
+    restrict_below: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """``num_layers`` independent neighborhood tables for one node chunk in
+    ONE jitted program ([L, B, K] ids / weights). The per-layer walk+top-k
+    pair used to be 2 dispatches x layers x chunks; over the remote-PJRT
+    tunnel each dispatch costs a round-trip, so fusing them cuts refresh
+    latency at ML-25M scale."""
+    outs_n, outs_w = [], []
+    for k in jax.random.split(key, num_layers):
+        visited = random_walks(graph, nodes, k, num_walks, walk_length, n_iters)
+        nb, w = importance_neighborhoods(visited, num_neighbors, graph.sentinel,
+                                         restrict_below)
+        outs_n.append(nb)
+        outs_w.append(w)
+    return jnp.stack(outs_n), jnp.stack(outs_w)
+
+
+def all_node_neighborhood_tables(
+    graph: DeviceGraph,
+    key: jax.Array,
+    num_layers: int,
+    num_walks: int,
+    walk_length: int,
+    num_neighbors: int,
+    n_iters: int,
+    batch: int = 16384,
+    num_nodes: int | None = None,
+    restrict_below: int | None = None,
+) -> list[tuple[jax.Array, jax.Array]]:
+    """Per-layer neighborhood tables for every node — the fused, chunked
+    equivalent of calling ``all_node_neighborhoods`` once per layer
+    (model/pinsage.py:271-275 semantics: one independent table per layer)."""
+    n = num_nodes if num_nodes is not None else graph.num_nodes
+    padded = ((n + batch - 1) // batch) * batch
+    ids = jnp.arange(padded, dtype=jnp.int32).clip(0, graph.num_nodes - 1)
+    keys = jax.random.split(key, padded // batch)
+    nb_chunks, w_chunks = [], []
+    for i, k in enumerate(keys):
+        nb, w = _multilayer_neighborhoods(
+            graph, ids[i * batch : (i + 1) * batch], k, num_layers,
+            num_walks, walk_length, num_neighbors, n_iters, restrict_below,
+        )
+        nb_chunks.append(nb)
+        w_chunks.append(w)
+    nbrs = jnp.concatenate(nb_chunks, axis=1)[:, :n]   # [L, N, K]
+    weights = jnp.concatenate(w_chunks, axis=1)[:, :n]
+    return [(nbrs[l], weights[l]) for l in range(num_layers)]
+
+
 def all_node_neighborhoods(
     graph: DeviceGraph,
     key: jax.Array,

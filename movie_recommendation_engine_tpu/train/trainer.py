@@ -187,19 +187,20 @@ class Trainer:
             if cfg.walk.count_nodes == "movies" and cfg.graph.use_bipartite_graph
             else None
         )
-        tables = []
-        for _ in range(cfg.model.num_layers):
-            self.rng, k = jax.random.split(self.rng)
-            nbrs, w = rw.all_node_neighborhoods(
-                self.graph, k, cfg.walk.num_walks, cfg.walk.walk_length,
-                cfg.walk.num_neighbors, self.n_iters,
-                num_nodes=self.table_rows,
-                restrict_below=restrict,
-            )
-            if self.mesh is not None:
-                nbrs = jax.device_put(nbrs, self._row_sharding)
-                w = jax.device_put(w, self._row_sharding)
-            tables.append((nbrs, w))
+        self.rng, k = jax.random.split(self.rng)
+        tables = rw.all_node_neighborhood_tables(
+            self.graph, k, cfg.model.num_layers,
+            cfg.walk.num_walks, cfg.walk.walk_length,
+            cfg.walk.num_neighbors, self.n_iters,
+            num_nodes=self.table_rows,
+            restrict_below=restrict,
+        )
+        if self.mesh is not None:
+            tables = [
+                (jax.device_put(nbrs, self._row_sharding),
+                 jax.device_put(w, self._row_sharding))
+                for nbrs, w in tables
+            ]
         self.nbr_tables = tables
 
         # Dense pooling matrices (MXU path) when the corpus is small enough
@@ -549,7 +550,13 @@ class Trainer:
             val_metric = None
             if cfg.eval.eval_every and (epoch + 1) % cfg.eval.eval_every == 0 \
                     and self.val_pairs.shape[0] > 0:
-                val = self.evaluate(self.val_pairs)
+                vp = self.val_pairs
+                cap = cfg.eval.max_val_pairs
+                if cap is not None and vp.shape[0] > cap:
+                    sel = np.random.default_rng(cfg.train.seed + 7).choice(
+                        vp.shape[0], size=cap, replace=False)
+                    vp = vp[sel]
+                val = self.evaluate(vp)
                 val_metric = val["hit_rate@10"]
                 stats.update({f"val_{k}": v for k, v in val.items()})
 

@@ -57,6 +57,8 @@ def main():
     cfg.train.max_pairs_per_epoch = 50_000
     cfg.model.dropout = 0.0
     cfg.eval.eval_every = 1
+    cfg.eval.max_val_pairs = 50_000  # full val (379k pairs at ml25m) costs
+    # more than the train epoch; final test eval below stays uncapped.
     cfg.eval.patience = args.epochs  # no early stop for the report
     cfg.paths.checkpoint_dir = "/tmp/quality_ck"
     cfg.paths.output_dir = "/tmp/quality_out"

@@ -98,12 +98,17 @@ def test_hybrid_forward_matches_gather():
 
 
 def test_chunked_pool_matrix_builder():
+    # Unique neighbor ids per row (what importance_neighborhoods produces;
+    # the direct bf16 scatter is exact only then — see
+    # dense_pool_matrix_direct's docstring).
     rng = np.random.default_rng(2)
     n, k, cols = 37, 5, 41
-    nb = jnp.asarray(rng.integers(0, cols + 1, (n, k)).astype(np.int32))
+    nb = np.stack([rng.choice(cols + 1, size=k, replace=False)
+                   for _ in range(n)]).astype(np.int32)
+    nb = jnp.asarray(nb)
     w = jnp.asarray(rng.random((n, k)).astype(np.float32))
     ref = pinsage.dense_pool_matrix(nb, w, num_cols=cols, valid_limit=30)
-    chunked = pinsage.build_pool_matrix_chunked(nb, w, num_cols=cols,
-                                                valid_limit=30, row_chunk=8)
-    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(ref))
-    assert chunked.dtype == jnp.bfloat16
+    direct = pinsage.build_pool_matrix_chunked(nb, w, num_cols=cols,
+                                               valid_limit=30, row_chunk=8)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(ref))
+    assert direct.dtype == jnp.bfloat16

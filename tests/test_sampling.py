@@ -177,3 +177,37 @@ def test_curriculum_schedule():
     assert negative.curriculum_num_hard(1) == 1
     assert negative.curriculum_num_hard(5) == 5
     assert negative.curriculum_num_hard(9) == 6
+
+
+def test_all_node_neighborhood_tables_fused(tiny_data):
+    """Fused multi-layer sampling: right shapes, sentinel semantics, layers
+    independent, deterministic under the same key."""
+    import jax
+    import jax.numpy as jnp
+
+    from movie_recommendation_engine_tpu.sampling import random_walk as rw
+
+    cfg, data = tiny_data
+    csr = data.build_bipartite_graph()
+    g = rw.device_graph(csr)
+    n_iters = rw.search_iters(csr)
+    key = jax.random.PRNGKey(7)
+    tables = rw.all_node_neighborhood_tables(
+        g, key, 2, num_walks=10, walk_length=2, num_neighbors=5,
+        n_iters=n_iters, batch=64, num_nodes=100,
+    )
+    assert len(tables) == 2
+    for nb, w in tables:
+        nb, w = np.asarray(nb), np.asarray(w)
+        assert nb.shape == (100, 5) and w.shape == (100, 5)
+        assert ((nb == g.sentinel) == (w == 0.0)).all()
+        valid = w.sum(axis=1)
+        np.testing.assert_allclose(valid[valid > 0], 1.0, atol=1e-5)
+    # Layers sampled with independent keys must differ somewhere.
+    assert not np.array_equal(np.asarray(tables[0][0]), np.asarray(tables[1][0]))
+    tables2 = rw.all_node_neighborhood_tables(
+        g, key, 2, num_walks=10, walk_length=2, num_neighbors=5,
+        n_iters=n_iters, batch=64, num_nodes=100,
+    )
+    np.testing.assert_array_equal(np.asarray(tables[0][0]),
+                                  np.asarray(tables2[0][0]))

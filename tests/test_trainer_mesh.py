@@ -19,12 +19,11 @@ def cfg_data(tmp_path_factory):
     return cfg, data
 
 
-def _fit(cfg, data, tmp, mesh_shape, shard_tables):
-    import dataclasses
-
+def _fit(cfg, data, tmp, mesh_shape, shard_tables, pool_impl="auto"):
     cfg = cfg.override({
         "mesh.shard_tables": shard_tables,
         "paths.checkpoint_dir": str(tmp),
+        "model.pool_impl": pool_impl,
     })
     cfg.mesh.mesh_shape = mesh_shape
     tr = Trainer(cfg, data)
@@ -51,3 +50,14 @@ def test_mesh_trainer_row_sharded_tables(cfg_data, tmp_path):
     cos = (emb1 * emb_s).sum(axis=1)
     assert cos.min() > 0.999
     assert emb_s.shape == emb1.shape
+
+
+def test_mesh_trainer_hybrid_pooling(cfg_data, tmp_path):
+    """Hybrid (dense prefix + gather final layer) under a mesh with
+    row-sharded tables matches the unsharded gather trainer."""
+    cfg, data = cfg_data
+    loss_g, emb_g = _fit(cfg, data, tmp_path / "e", None, False, "gather")
+    loss_h, emb_h = _fit(cfg, data, tmp_path / "f", (2, 4), True, "hybrid")
+    assert abs(loss_g - loss_h) < 1e-3
+    cos = (emb_g * emb_h).sum(axis=1)
+    assert cos.min() > 0.999
