@@ -43,19 +43,28 @@ class ShardedStepConfig(NamedTuple):
 def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
     """Returns (step_fn, shardings) where
 
-    step_fn(params, opt_state, x_table, nbrs_l, w_l, q, p, rand_negs,
-            hard_negs, lr) -> (params, opt_state, loss)
+    step_fn(params, opt_state, x_table, nbrs_l, w_l, pool_mats, q, p,
+            rand_negs, hard_negs, lr) -> (params, opt_state, loss)
 
     nbrs_l / w_l are tuples of per-layer [N, K] tables. ``hard_negs`` must be
     a [B, num_hard] array when scfg.num_hard > 0, else a [B, 1] placeholder.
-    """
+
+    ``pool_mats`` (tuple, possibly empty) carries the dense MXU pooling
+    matrices of the hybrid/dense path (models/pinsage.dense_pool_matrix) —
+    the fast path at ML-25M scale. Each [N, N] matrix is **row-sharded over
+    the model axis**: a chip holds an [N/m, N] slab, all-gathers the (much
+    smaller) [N, H] activation table over ICI, and produces its output row
+    shard locally. At 59k rows the bf16 matrix is 7 GB — row-sharding is
+    what fits it on small-HBM chips and is the natural layout (the
+    partitioner inserts one all-gather of 30 MB of activations per layer
+    instead of moving the 7 GB matrix)."""
     rep = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P("model", None))
     dat = NamedSharding(mesh, P("data"))
     dat2 = NamedSharding(mesh, P("data", None))
 
-    def step(params, opt_state, x_table, nbrs_l, w_l, q, p, rand_negs,
-             hard_negs, lr):
+    def step(params, opt_state, x_table, nbrs_l, w_l, pool_mats, q, p,
+             rand_negs, hard_negs, lr):
         b = q.shape[0]
         r = rand_negs.shape[0]
 
@@ -64,11 +73,18 @@ def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
             if scfg.num_hard > 0:
                 nodes.append(hard_negs.reshape(-1))
             all_nodes = jnp.concatenate(nodes)
-            emb = pinsage.pooled_forward_batch(
-                params, x_table, list(nbrs_l), list(w_l), all_nodes,
-                valid_limit=scfg.valid_limit, dtype=scfg.dtype,
-                aggregator=scfg.aggregator,
-            )
+            if len(pool_mats) == len(params["convs"]):
+                emb = pinsage.pooled_forward_batch_dense(
+                    params, x_table, list(pool_mats), all_nodes,
+                    dtype=scfg.dtype,
+                )
+            else:
+                emb = pinsage.pooled_forward_batch(
+                    params, x_table, list(nbrs_l), list(w_l), all_nodes,
+                    valid_limit=scfg.valid_limit, dtype=scfg.dtype,
+                    aggregator=scfg.aggregator,
+                    pool_mats=pool_mats,
+                )
             q_emb, p_emb = emb[:b], emb[b : 2 * b]
             r_emb = emb[2 * b : 2 * b + r]
             h_emb = (
@@ -96,13 +112,14 @@ def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
     def tree_shard(tree, sharding):
         return jax.tree_util.tree_map(lambda _: sharding, tree)
 
-    def shardings_for(params, opt_state, nbrs_l, w_l):
+    def shardings_for(params, opt_state, nbrs_l, w_l, pool_mats=()):
         in_shardings = (
             tree_shard(params, rep),
             tree_shard(opt_state, rep),
             row,                                   # x_table
             tuple(row for _ in nbrs_l),            # nbr tables
             tuple(row for _ in w_l),               # weight tables
+            tuple(row for _ in pool_mats),         # dense pool matrices
             dat, dat,                              # q, p
             rep,                                   # rand_negs (shared pool)
             dat2,                                  # hard_negs
@@ -113,8 +130,8 @@ def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
         )
         return in_shardings, out_shardings
 
-    def compile_step(params, opt_state, nbrs_l, w_l):
-        in_sh, out_sh = shardings_for(params, opt_state, nbrs_l, w_l)
+    def compile_step(params, opt_state, nbrs_l, w_l, pool_mats=()):
+        in_sh, out_sh = shardings_for(params, opt_state, nbrs_l, w_l, pool_mats)
         return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
 
     return compile_step
@@ -127,17 +144,22 @@ def sharded_embed_fn(mesh: Mesh, scfg: ShardedStepConfig):
     rep = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P("model", None))
 
-    def embed(params, x_table, nbrs_l, w_l):
+    def embed(params, x_table, nbrs_l, w_l, pool_mats=()):
+        if pool_mats and len(pool_mats) == len(params["convs"]):
+            return pinsage.pooled_forward_dense(
+                params, x_table, list(pool_mats), dtype=scfg.dtype,
+            )
         return pinsage.pooled_forward(
             params, x_table, list(nbrs_l), list(w_l),
             valid_limit=scfg.valid_limit, dtype=scfg.dtype,
-            aggregator=scfg.aggregator,
+            aggregator=scfg.aggregator, pool_mats=pool_mats,
         )
 
-    def compile_embed(params, nbrs_l, w_l):
+    def compile_embed(params, nbrs_l, w_l, pool_mats=()):
         in_sh = (
             jax.tree_util.tree_map(lambda _: rep, params),
             row, tuple(row for _ in nbrs_l), tuple(row for _ in w_l),
+            tuple(row for _ in pool_mats),
         )
         return jax.jit(embed, in_shardings=in_sh, out_shardings=row)
 

@@ -22,6 +22,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="ml1m", choices=["small", "ml1m", "ml25m"])
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--max-pairs", type=int, default=50_000,
+                    help="positive pairs per epoch (train time is ~3s/50k at "
+                         "ml25m scale — coverage is cheap relative to the "
+                         "refresh+eval overhead per epoch)")
+    ap.add_argument("--refresh-every", type=int, default=1,
+                    help="epochs between neighborhood-table refreshes")
     ap.add_argument("--platform", default="default")
     ap.add_argument("--out", default="RESULTS.md")
     args = ap.parse_args()
@@ -54,7 +60,8 @@ def main():
         cfg.data.synthetic_num_users = 162_000
         cfg.data.synthetic_num_ratings = 8_000_000
     cfg.train.epochs = args.epochs
-    cfg.train.max_pairs_per_epoch = 50_000
+    cfg.train.max_pairs_per_epoch = args.max_pairs
+    cfg.train.refresh_neighborhoods_every = args.refresh_every
     cfg.model.dropout = 0.0
     cfg.eval.eval_every = 1
     cfg.eval.max_val_pairs = 50_000  # full val (379k pairs at ml25m) costs
