@@ -87,6 +87,13 @@ class ModelConfig:
     pool_impl: str = "auto"
     dense_pool_max_rows: int = 32768
     dense_pool_hybrid_max_rows: int = 65536
+    # Storage dtype of the dense pool matrices. The hybrid/dense step is
+    # HBM-bound on reading A (7 GB bf16 at ML-25M scale, touched twice per
+    # step: A @ h forward, A^T @ g backward) — "float8_e4m3fn" halves that
+    # traffic. Pool weights are coarse visit-count fractions (100 walks), so
+    # e4m3's ~6% relative step is below the sampling noise; rows are
+    # renormalized before quantization.
+    pool_matrix_dtype: str = "bfloat16"  # bfloat16 | float8_e4m3fn
     # Which nodes are eligible as pooled neighbors. The reference passes only
     # movie features to pooling, so user-node neighbors are silently dropped as
     # out-of-range indices (model/pinsage.py:124). "movies_only" reproduces

@@ -229,12 +229,21 @@ class Trainer:
             ):
                 n_dense = n_layers - 1
         if n_dense:
+            pool_dtype = {
+                "bfloat16": jnp.bfloat16,
+                "float8_e4m3fn": jnp.float8_e4m3fn,
+            }[cfg.model.pool_matrix_dtype]
             mats = []
             for nbrs, w in tables[:n_dense]:
                 a = pinsage.build_pool_matrix_chunked(
                     nbrs, w, num_cols=self.table_rows,
                     valid_limit=self.valid_limit,
                 )
+                if a.dtype != pool_dtype:
+                    # Quantize AFTER the scatter build (scatter-add into f8
+                    # would lose additions); transient peak is A in both
+                    # dtypes (10.5 GB at ML-25M scale — fits v5e HBM).
+                    a = jax.jit(lambda m: m.astype(pool_dtype))(a)
                 if self.mesh is not None:
                     a = jax.device_put(a, self._row_sharding)
                 mats.append(a)

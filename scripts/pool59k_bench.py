@@ -27,8 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impls", default="hybrid,gather")
+    ap.add_argument("--pool-dtypes", default="bfloat16",
+                    help="comma list: bfloat16,float8_e4m3fn — f8 halves the "
+                         "HBM traffic of the [N, N] pool-matrix reads that "
+                         "dominate the hybrid step")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--max-pairs", type=int, default=50_000)
+    ap.add_argument("--movies", type=int, default=59_000)
+    ap.add_argument("--users", type=int, default=162_000)
+    ap.add_argument("--ratings", type=int, default=8_000_000)
     ap.add_argument("--platform", default="default")
     args = ap.parse_args()
 
@@ -46,9 +53,9 @@ def main():
     cfg = default_config()
     cfg.data.source = "synthetic"
     cfg.data.use_data_subset = False
-    cfg.data.synthetic_num_movies = 59_000
-    cfg.data.synthetic_num_users = 162_000
-    cfg.data.synthetic_num_ratings = 8_000_000
+    cfg.data.synthetic_num_movies = args.movies
+    cfg.data.synthetic_num_users = args.users
+    cfg.data.synthetic_num_ratings = args.ratings
     cfg.train.epochs = args.epochs
     cfg.train.max_pairs_per_epoch = args.max_pairs
     cfg.model.dropout = 0.0
@@ -63,25 +70,30 @@ def main():
 
     results = {}
     for impl in args.impls.split(","):
-        tr.cfg.model.pool_impl = impl
-        tr.nbr_tables = None  # force refresh (rebuilds pool_mats per impl)
-        tr.pool_mats = ()
-        stats_all = []
-        for epoch in range(args.epochs):
-            t0 = time.time()
-            stats = tr.train_epoch(epoch)
-            stats["wall_s"] = round(time.time() - t0, 2)
-            stats["impl"] = impl
-            stats["epoch"] = epoch
-            print(json.dumps(stats, default=float), flush=True)
-            stats_all.append(stats)
-        # Steady-state epoch (last one; first includes compiles).
-        results[impl] = stats_all[-1]
+        dtypes = args.pool_dtypes.split(",") if impl != "gather" else ["bfloat16"]
+        for pdt in dtypes:
+            label = impl if pdt == "bfloat16" else f"{impl}/{pdt}"
+            tr.cfg.model.pool_impl = impl
+            tr.cfg.model.pool_matrix_dtype = pdt
+            tr.nbr_tables = None  # force refresh (rebuilds pool_mats per impl)
+            tr.pool_mats = ()
+            stats_all = []
+            for epoch in range(args.epochs):
+                t0 = time.time()
+                stats = tr.train_epoch(epoch)
+                stats["wall_s"] = round(time.time() - t0, 2)
+                stats["impl"] = label
+                stats["epoch"] = epoch
+                print(json.dumps(stats, default=float), flush=True)
+                stats_all.append(stats)
+            # Steady-state epoch (last one; first includes compiles).
+            results[label] = stats_all[-1]
 
     print("== summary ==")
-    for impl, s in results.items():
-        print(f"{impl}: {s['step_ms_p50']:.1f} ms/step p50, "
-              f"{s['examples_per_sec']:.0f} examples/s", flush=True)
+    for label, s in results.items():
+        print(f"{label}: {s['step_ms_p50']:.1f} ms/step p50, "
+              f"{s['examples_per_sec']:.0f} examples/s "
+              f"(loss {s['loss']:.4f})", flush=True)
 
 
 if __name__ == "__main__":

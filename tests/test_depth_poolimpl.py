@@ -97,6 +97,42 @@ def test_hybrid_forward_matches_gather():
     np.testing.assert_allclose(np.asarray(all_b), np.asarray(dense_b), atol=1e-5)
 
 
+def test_f8_pool_matrix_close_to_bf16(tmp_path):
+    """float8_e4m3fn pool-matrix storage (the HBM-traffic halving at ML-25M
+    scale) must stay within quantization tolerance of the bf16 path and
+    train end-to-end."""
+    rng = np.random.default_rng(3)
+    n, k = 64, 8
+    nb = jnp.asarray(rng.integers(0, n, (n, k)).astype(np.int32))
+    w = jnp.asarray(rng.random((n, k)).astype(np.float32))
+    a16 = pinsage.dense_pool_matrix(nb, w, num_cols=n, dtype=jnp.float32)
+    a8 = a16.astype(jnp.float8_e4m3fn)
+    h = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    p16 = np.asarray(a16 @ h)
+    p8 = np.asarray(a8.astype(jnp.float32) @ h)
+    # e4m3 carries ~6% per-entry relative step; row sums of ~k entries keep
+    # the pooled output well inside 5e-2 absolute at unit-scale features.
+    np.testing.assert_allclose(p8, p16, atol=5e-2)
+
+    import io
+
+    from movie_recommendation_engine_tpu.config import small_test_config
+    from movie_recommendation_engine_tpu.core.logging import MetricsLogger
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = small_test_config()
+    cfg.model.pool_impl = "hybrid"
+    cfg.model.pool_matrix_dtype = "float8_e4m3fn"
+    cfg.train.epochs = 1
+    cfg.paths.checkpoint_dir = str(tmp_path / "ck_f8")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data, MetricsLogger(stream=io.StringIO()))
+    out = tr.fit()
+    assert np.isfinite(out["history"][-1]["loss"])
+    assert tr.pool_mats and tr.pool_mats[0].dtype == jnp.float8_e4m3fn
+
+
 def test_chunked_pool_matrix_builder():
     # Unique neighbor ids per row (what importance_neighborhoods produces;
     # the direct bf16 scatter is exact only then — see
