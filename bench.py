@@ -78,6 +78,11 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
         build = jax.jit(pinsage.dense_pool_matrix, static_argnames=("num_cols",))
         pool_mats = tuple(build(n, w, num_cols=NUM_MOVIES)
                           for n, w in zip(nbrs_j, w_j))
+        # Optional f8 storage for the pool matrices (halves their HBM reads;
+        # see config.ModelConfig.pool_matrix_dtype). A/B via env.
+        if os.environ.get("MRE_BENCH_POOL_DTYPE", "bfloat16") == "float8_e4m3fn":
+            cast = jax.jit(lambda m: m.astype(jnp.float8_e4m3fn))
+            pool_mats = tuple(cast(m) for m in pool_mats)
         jax.block_until_ready(pool_mats)
     else:
         pool_mats = ()
