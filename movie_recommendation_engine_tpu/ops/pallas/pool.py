@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: fused gather-weight-aggregate importance pooling.
+
+Computes ``out[b] = sum_k w[b, k] * table[nbrs[b, k]]`` — the PinSage
+importance-pooling core (reference ``model/pinsage.py:101-150``, hot loop #3
+in SURVEY.md §3) as one kernel: neighbor feature rows are DMA'd from the HBM
+feature table straight into VMEM row buffers (double-buffered per node, so
+the next node's gathers overlap the current node's weighted reduction on the
+MXU) and only the pooled [B, D] result is written back.
+
+Why a kernel: the XLA gather formulation materializes the [B, K, D] neighbor
+tensor in HBM before the einsum reduces it — 3x the minimal HBM traffic
+(write [B,K,D] + read it back vs reading each row once). Here the gathered
+rows live only in VMEM.
+
+This is the gather-form complement to the dense-matrix MXU path
+(models/pinsage.dense_pool_matrix): dense wins when the [N, N] pool matrix
+fits HBM (trainer auto-selects it); the fused gather kernel targets corpora
+too large for that. On the tunnel-backed `axon` platform Pallas cannot
+remote-compile (CLAUDE.md), so the public entry point falls back to the XLA
+gather there; tests exercise the kernel in interpret mode.
+
+Sentinel convention: neighbor id >= ``valid_limit`` marks an empty slot — the
+wrapper clamps the id (so the DMA address is in-bounds) and zeroes its
+weight, preserving the reference's zero-contribution semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pool_kernel(nbr_ref, w_ref, table_ref, out_ref, rows, sems, *,
+                 tile_b: int, k: int):
+    """One grid step pools ``tile_b`` nodes.
+
+    nbr_ref: SMEM [B, K] int32 (scalar-prefetch, whole array, pre-clamped)
+    w_ref:   VMEM [tile_b, K] f32 block (pre-masked: 0 at sentinel slots)
+    table_ref: HBM [N, D] feature table (memory_space=ANY)
+    out_ref: VMEM [tile_b, D] f32 block
+    rows:    VMEM scratch [2, K, D] (double buffer of gathered rows)
+    sems:    DMA semaphores [2, K]
+    """
+    i = pl.program_id(0)
+
+    def start_gathers(slot, b_local):
+        b = i * tile_b + b_local
+
+        def start_one(kk, _):
+            idx = nbr_ref[b, kk]
+            pltpu.make_async_copy(
+                table_ref.at[idx], rows.at[slot, kk], sems.at[slot, kk]
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, k, start_one, 0)
+
+    def wait_gathers(slot, b_local):
+        b = i * tile_b + b_local
+
+        def wait_one(kk, _):
+            idx = nbr_ref[b, kk]
+            pltpu.make_async_copy(
+                table_ref.at[idx], rows.at[slot, kk], sems.at[slot, kk]
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, k, wait_one, 0)
+
+    start_gathers(0, 0)  # warm up the pipeline
+
+    def body(b_local, _):
+        slot = jax.lax.rem(b_local, 2)
+
+        @pl.when(b_local + 1 < tile_b)
+        def _():
+            start_gathers(1 - slot, b_local + 1)
+
+        wait_gathers(slot, b_local)
+        # Weighted reduction of the K gathered rows: [1,K] @ [K,D] on the MXU.
+        w_row = w_ref[b_local, :].reshape(1, k)
+        pooled = jnp.dot(
+            w_row, rows[slot].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[b_local, :] = pooled[0]
+        return 0
+
+    jax.lax.fori_loop(0, tile_b, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("valid_limit", "tile_b", "interpret")
+)
+def gather_pool(
+    table: jax.Array,     # [N, D] feature rows (any float dtype)
+    nbrs: jax.Array,      # [B, K] int32 neighbor ids (sentinel >= valid_limit)
+    weights: jax.Array,   # [B, K] f32 importance weights
+    valid_limit: int,
+    tile_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, D] f32 pooled rows: ``sum_k w[b,k] * table[nbrs[b,k]]``."""
+    b, k = nbrs.shape
+    d = table.shape[1]
+    w = jnp.where(nbrs >= valid_limit, 0.0, weights.astype(jnp.float32))
+    idx = jnp.minimum(nbrs, valid_limit - 1).astype(jnp.int32)
+
+    pad_b = (-b) % tile_b
+    if pad_b:
+        idx = jnp.pad(idx, ((0, pad_b), (0, 0)))
+        w = jnp.pad(w, ((0, pad_b), (0, 0)))
+    bp = b + pad_b
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,   # nbr ids land in SMEM before the body runs
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, k), lambda i, nbr: (i, 0),
+                         memory_space=pltpu.VMEM),       # weights
+            pl.BlockSpec(memory_space=pltpu.ANY),        # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((tile_b, d), lambda i, nbr: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, k, d), table.dtype),
+            pltpu.SemaphoreType.DMA((2, k)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_pool_kernel, tile_b=tile_b, k=k),
+        out_shape=jax.ShapeDtypeStruct((bp, d), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, w, table)
+    return out[:b]

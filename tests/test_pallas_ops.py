@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from movie_recommendation_engine_tpu.ops.pallas import hamming
+from movie_recommendation_engine_tpu.ops.pallas import hamming, pool
 
 
 def _ref_hamming(qsig, sigs, t, w):
@@ -56,3 +56,46 @@ def test_hamming_topk_matches_xla_path():
         qsig_flat.reshape(q, t, w), sigs_flat.reshape(n, t, w), 5
     )
     np.testing.assert_array_equal(np.asarray(d_pal), np.asarray(d_xla))
+
+
+def test_gather_pool_kernel_matches_numpy():
+    """DMA-gather pooling kernel == masked einsum (sentinels contribute 0)."""
+    rng = np.random.default_rng(3)
+    n, d, b, k = 96, 256, 19, 11
+    table = rng.standard_normal((n, d)).astype(np.float32)
+    nbrs = rng.integers(0, n + 1, (b, k)).astype(np.int32)  # id==n: sentinel
+    w = rng.random((b, k)).astype(np.float32)
+
+    out = pool.gather_pool(jnp.asarray(table), jnp.asarray(nbrs),
+                           jnp.asarray(w), valid_limit=n, tile_b=4,
+                           interpret=True)
+    mask = (nbrs < n).astype(np.float32)
+    ref = np.einsum("bk,bkd->bd", w * mask, table[np.minimum(nbrs, n - 1)])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_gather_pool_kernel_matches_importance_pool():
+    """Kernel == models.pinsage.importance_pool on pre-normalized weights.
+
+    importance_pool renormalizes over the valid set; feeding it already-
+    normalized weights makes the two formulations identical."""
+    from movie_recommendation_engine_tpu.models.pinsage import importance_pool
+
+    rng = np.random.default_rng(4)
+    n, d, b, k = 64, 128, 9, 7
+    table = rng.standard_normal((n, d)).astype(np.float32)
+    nbrs = rng.integers(0, n + 1, (b, k)).astype(np.int32)
+    w = rng.random((b, k)).astype(np.float32)
+    mask = (nbrs < n).astype(np.float32)
+    w_norm = w * mask
+    denom = w_norm.sum(1, keepdims=True)
+    w_norm = np.where(denom > 0, w_norm / np.maximum(denom, 1e-12), 0.0)
+
+    out_kernel = pool.gather_pool(jnp.asarray(table), jnp.asarray(nbrs),
+                                  jnp.asarray(w_norm.astype(np.float32)),
+                                  valid_limit=n, tile_b=8, interpret=True)
+    out_ref = importance_pool(jnp.asarray(table), jnp.asarray(nbrs),
+                              jnp.asarray(w), valid_limit=n,
+                              dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
+                               atol=1e-4)
