@@ -195,7 +195,12 @@ def cmd_tune(cfg: Config, args) -> int:
     from ..train.tune import hyperparameter_tuning
 
     logger = MetricsLogger()
-    result = hyperparameter_tuning(cfg, logger)
+    kwargs = {}
+    if args.lrs:
+        kwargs["learning_rates"] = [float(v) for v in args.lrs.split(",")]
+    if args.hidden_dims:
+        kwargs["hidden_dims"] = [int(v) for v in args.hidden_dims.split(",")]
+    result = hyperparameter_tuning(cfg, logger, **kwargs)
     logger.log("tune_done", best=result["best"])
     return 0
 
@@ -236,6 +241,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--save-csv", action="store_true")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of training to DIR")
+    ap.add_argument("--lrs", default=None,
+                    help="tune mode: comma list of learning rates "
+                         "(default 1e-3,5e-4)")
+    ap.add_argument("--hidden-dims", default=None,
+                    help="tune mode: comma list of hidden dims "
+                         "(default 128,256)")
     ap.add_argument("--platform", choices=["cpu", "tpu", "axon", "default"],
                     default="default",
                     help="force the JAX platform (overrides env/plugins)")
