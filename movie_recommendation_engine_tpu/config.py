@@ -114,6 +114,14 @@ class WalkConfig:
     # visited node like the reference (whose pooling then drops user ids,
     # wasting top-K slots; see sampling/random_walk.importance_neighborhoods).
     count_nodes: str = "movies"
+    # Neighborhood ranking strategy: "random_walk" (visit-count importance,
+    # the PinSage default) or "ppr" (deterministic approximate Personalized
+    # PageRank top-K — the reference ships this as dead code at
+    # utils/random_walk.py:144-228; here it is a working option, practical
+    # for small/medium corpora; see sampling/ppr.py).
+    strategy: str = "random_walk"
+    ppr_alpha: float = 0.15
+    ppr_iterations: int = 10
 
 
 @dataclass

@@ -100,3 +100,69 @@ def precompute_top_neighbors(
             w = (s / tot).tolist() if tot > 0 else []
             out[int(src)] = (idx.tolist(), w)
     return out
+
+
+@partial(jax.jit, static_argnames=(
+    "num_nodes", "num_neighbors", "alpha", "num_iterations", "restrict_below"))
+def _ppr_top_neighbors_chunk(
+    graph: DeviceGraph,
+    sources: jax.Array,
+    num_nodes: int,
+    num_neighbors: int,
+    alpha: float,
+    num_iterations: int,
+    restrict_below: int | None,
+) -> tuple[jax.Array, jax.Array]:
+    scores = ppr_scores(graph, sources, num_nodes, alpha=alpha,
+                        num_iterations=num_iterations)
+    if restrict_below is not None:
+        # Rank only movie-node targets (walk.count_nodes="movies" analog).
+        mask = jnp.arange(num_nodes) < restrict_below
+        scores = jnp.where(mask[None, :], scores, 0.0)
+    top, idx = jax.lax.top_k(scores, min(num_neighbors, num_nodes))
+    empty = top <= 0.0
+    nbrs = jnp.where(empty, num_nodes, idx).astype(jnp.int32)
+    w = jnp.where(empty, 0.0, top)
+    tot = w.sum(axis=1, keepdims=True)
+    w = jnp.where(tot > 0, w / jnp.maximum(tot, 1e-12), 0.0)
+    if num_neighbors > num_nodes:
+        pad = num_neighbors - num_nodes
+        nbrs = jnp.pad(nbrs, ((0, 0), (0, pad)), constant_values=num_nodes)
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    return nbrs, w.astype(jnp.float32)
+
+
+def all_node_neighborhood_tables_ppr(
+    graph: DeviceGraph,
+    num_layers: int,
+    num_neighbors: int,
+    num_nodes: int | None = None,
+    restrict_below: int | None = None,
+    alpha: float = 0.15,
+    num_iterations: int = 10,
+    batch: int = 512,
+) -> list[tuple[jax.Array, jax.Array]]:
+    """Per-layer neighborhood tables ranked by PPR mass — drop-in replacement
+    for ``random_walk.all_node_neighborhood_tables`` (``walk.strategy="ppr"``).
+
+    PPR is deterministic, so every layer shares ONE table (the random-walk
+    strategy resamples per layer). Like the reference's precompute
+    (utils/random_walk.py:197-228) the source itself keeps its teleport mass
+    and typically ranks first. Cost is O(B·E) transient per chunk (edge-wise
+    frontier push) — sized for small/medium corpora; the walk strategy is the
+    at-scale default.
+    """
+    n = num_nodes if num_nodes is not None else graph.num_nodes
+    nb_chunks, w_chunks = [], []
+    ids = jnp.arange(((n + batch - 1) // batch) * batch, dtype=jnp.int32)
+    ids = ids.clip(0, graph.num_nodes - 1)
+    for i in range(0, ids.shape[0], batch):
+        nb, w = _ppr_top_neighbors_chunk(
+            graph, ids[i : i + batch], graph.num_nodes, num_neighbors,
+            alpha, num_iterations, restrict_below,
+        )
+        nb_chunks.append(nb)
+        w_chunks.append(w)
+    nbrs = jnp.concatenate(nb_chunks, axis=0)[:n]
+    weights = jnp.concatenate(w_chunks, axis=0)[:n]
+    return [(nbrs, weights) for _ in range(num_layers)]

@@ -188,13 +188,23 @@ class Trainer:
             else None
         )
         self.rng, k = jax.random.split(self.rng)
-        tables = rw.all_node_neighborhood_tables(
-            self.graph, k, cfg.model.num_layers,
-            cfg.walk.num_walks, cfg.walk.walk_length,
-            cfg.walk.num_neighbors, self.n_iters,
-            num_nodes=self.table_rows,
-            restrict_below=restrict,
-        )
+        if cfg.walk.strategy == "ppr":
+            from ..sampling import ppr as ppr_mod
+
+            tables = ppr_mod.all_node_neighborhood_tables_ppr(
+                self.graph, cfg.model.num_layers, cfg.walk.num_neighbors,
+                num_nodes=self.table_rows, restrict_below=restrict,
+                alpha=cfg.walk.ppr_alpha,
+                num_iterations=cfg.walk.ppr_iterations,
+            )
+        else:
+            tables = rw.all_node_neighborhood_tables(
+                self.graph, k, cfg.model.num_layers,
+                cfg.walk.num_walks, cfg.walk.walk_length,
+                cfg.walk.num_neighbors, self.n_iters,
+                num_nodes=self.table_rows,
+                restrict_below=restrict,
+            )
         if self.mesh is not None:
             tables = [
                 (jax.device_put(nbrs, self._row_sharding),

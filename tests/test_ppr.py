@@ -53,3 +53,58 @@ def test_precompute_top_neighbors():
     np.testing.assert_allclose(sum(weights), 1.0, atol=1e-5)
     # Source itself carries the most PPR mass (teleport term).
     assert nbrs[0] == 0
+
+
+def test_ppr_neighborhood_tables_shape_and_weights():
+    ei = np.array([[0, 0, 1, 2, 3], [1, 2, 0, 0, 0]])
+    w = np.array([3.0, 1.0, 1.0, 1.0, 2.0], dtype=np.float32)
+    csr = csr_from_edge_index(ei, w, num_nodes=5)   # node 4 isolated
+    g = device_graph(csr)
+    tables = ppr.all_node_neighborhood_tables_ppr(
+        g, num_layers=2, num_neighbors=3, num_nodes=5, batch=2)
+    assert len(tables) == 2
+    nbrs, weights = (np.asarray(t) for t in tables[0])
+    assert nbrs.shape == (5, 3) and weights.shape == (5, 3)
+    # Deterministic: both layers share the table.
+    np.testing.assert_array_equal(np.asarray(tables[1][0]), nbrs)
+    # The source keeps its teleport mass (reference semantics: no
+    # self-exclusion) — it always appears in its own top-K. It ranks FIRST
+    # only when return mass flows back (node 0's cycle, node 4's isolation);
+    # a zero-in-degree node like 3 pours its mass into its neighbor.
+    assert all(i in nbrs[i] for i in range(5))
+    assert nbrs[0, 0] == 0 and nbrs[4, 0] == 4
+    # Weights renormalize over valid slots; sentinel slots carry 0.
+    sums = weights.sum(axis=1)
+    np.testing.assert_allclose(sums[sums > 0], 1.0, atol=1e-5)
+    assert (weights[nbrs == 5] == 0).all()
+
+
+def test_ppr_tables_restrict_below():
+    # Targets >= restrict_below must never be ranked (movie-only pooling).
+    ei = np.array([[0, 0, 1, 2], [1, 2, 0, 0]])
+    csr = csr_from_edge_index(ei, None, num_nodes=3)
+    g = device_graph(csr)
+    tables = ppr.all_node_neighborhood_tables_ppr(
+        g, num_layers=1, num_neighbors=3, num_nodes=3, restrict_below=2)
+    nbrs, weights = (np.asarray(t) for t in tables[0])
+    valid = nbrs < 3
+    assert (nbrs[valid] < 2).all()
+
+
+def test_trainer_ppr_strategy_end_to_end(tmp_path):
+    from movie_recommendation_engine_tpu import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = small_test_config()
+    cfg.train.epochs = 2
+    cfg.walk.strategy = "ppr"
+    cfg.walk.ppr_iterations = 4
+    cfg.paths.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.paths.output_dir = str(tmp_path / "out")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data)
+    result = tr.fit()
+    assert all(np.isfinite(h["loss"]) for h in result["history"])
+    emb = np.asarray(tr.movie_embeddings())
+    assert np.isfinite(emb).all()
