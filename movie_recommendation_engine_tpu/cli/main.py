@@ -197,9 +197,13 @@ def cmd_tune(cfg: Config, args) -> int:
     logger = MetricsLogger()
     kwargs = {}
     if args.lrs:
-        kwargs["learning_rates"] = [float(v) for v in args.lrs.split(",")]
+        kwargs["learning_rates"] = [
+            float(v) for v in args.lrs.split(",") if v.strip()
+        ]
     if args.hidden_dims:
-        kwargs["hidden_dims"] = [int(v) for v in args.hidden_dims.split(",")]
+        kwargs["hidden_dims"] = [
+            int(v) for v in args.hidden_dims.split(",") if v.strip()
+        ]
     result = hyperparameter_tuning(cfg, logger, **kwargs)
     logger.log("tune_done", best=result["best"])
     return 0

@@ -15,9 +15,10 @@ rows live only in VMEM.
 This is the gather-form complement to the dense-matrix MXU path
 (models/pinsage.dense_pool_matrix): dense wins when the [N, N] pool matrix
 fits HBM (trainer auto-selects it); the fused gather kernel targets corpora
-too large for that. On the tunnel-backed `axon` platform Pallas cannot
-remote-compile (CLAUDE.md), so the public entry point falls back to the XLA
-gather there; tests exercise the kernel in interpret mode.
+too large for that. NOTE: callers must gate on the backend the way
+retrieval/lsh.py does — on the tunnel-backed `axon` platform Pallas cannot
+remote-compile (CLAUDE.md; use models/pinsage.importance_pool there); tests
+exercise the kernel in interpret mode.
 
 Sentinel convention: neighbor id >= ``valid_limit`` marks an empty slot — the
 wrapper clamps the id (so the DMA address is in-bounds) and zeroes its
@@ -107,8 +108,11 @@ def gather_pool(
     """[B, D] f32 pooled rows: ``sum_k w[b,k] * table[nbrs[b,k]]``."""
     b, k = nbrs.shape
     d = table.shape[1]
-    w = jnp.where(nbrs >= valid_limit, 0.0, weights.astype(jnp.float32))
-    idx = jnp.minimum(nbrs, valid_limit - 1).astype(jnp.int32)
+    # Clamp BOTH sides: a negative id would otherwise become an out-of-bounds
+    # DMA source address (the XLA gather path clips; the kernel must too).
+    w = jnp.where((nbrs >= valid_limit) | (nbrs < 0), 0.0,
+                  weights.astype(jnp.float32))
+    idx = jnp.clip(nbrs, 0, valid_limit - 1).astype(jnp.int32)
 
     pad_b = (-b) % tile_b
     if pad_b:
@@ -122,7 +126,7 @@ def gather_pool(
         in_specs=[
             pl.BlockSpec((tile_b, k), lambda i, nbr: (i, 0),
                          memory_space=pltpu.VMEM),       # weights
-            pl.BlockSpec(memory_space=pltpu.ANY),        # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),           # table stays in HBM
         ],
         out_specs=pl.BlockSpec((tile_b, d), lambda i, nbr: (i, 0),
                                memory_space=pltpu.VMEM),

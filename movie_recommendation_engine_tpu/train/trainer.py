@@ -189,6 +189,9 @@ class Trainer:
         )
         self.rng, k = jax.random.split(self.rng)
         if cfg.walk.strategy == "ppr":
+            if self.nbr_tables is not None:
+                return  # PPR is deterministic — refreshing recomputes the
+                        # same tables (and pool matrices); skip after epoch 0.
             from ..sampling import ppr as ppr_mod
 
             tables = ppr_mod.all_node_neighborhood_tables_ppr(
@@ -196,14 +199,20 @@ class Trainer:
                 num_nodes=self.table_rows, restrict_below=restrict,
                 alpha=cfg.walk.ppr_alpha,
                 num_iterations=cfg.walk.ppr_iterations,
+                batch=cfg.walk.ppr_batch,
             )
-        else:
+        elif cfg.walk.strategy == "random_walk":
             tables = rw.all_node_neighborhood_tables(
                 self.graph, k, cfg.model.num_layers,
                 cfg.walk.num_walks, cfg.walk.walk_length,
                 cfg.walk.num_neighbors, self.n_iters,
                 num_nodes=self.table_rows,
                 restrict_below=restrict,
+            )
+        else:
+            raise ValueError(
+                f"unknown walk.strategy {cfg.walk.strategy!r} "
+                "(expected 'random_walk' or 'ppr')"
             )
         if self.mesh is not None:
             tables = [

@@ -58,7 +58,6 @@ def main():
     for method, r in results.items():
         print(json.dumps({
             "method": method,
-            "p50_ms_per_query": round(r["search_time"] / args.queries * 1e3, 4),
             **{kk: round(float(vv), 4) for kk, vv in r.items()
                if isinstance(vv, (int, float))},
         }), flush=True)
