@@ -3,8 +3,9 @@ four scripts (run.py / main.py / inference.py / demo.py — SURVEY.md §1 L6).
 
     python -m movie_recommendation_engine_tpu <mode> [--set key=value ...]
 
-Modes: train | evaluate | recommend | benchmark | tune | demo | download | all
-(run.py:499-592 modes plus benchmark/demo/download from the other scripts).
+Modes: train | evaluate | recommend | benchmark | tune | demo | serve |
+download | all (run.py:499-592 modes plus benchmark/demo/download from the
+other scripts; serve is new — a persistent batched recommendation server).
 
 Config overrides use dotted keys into the typed Config, e.g.
     --set train.learning_rate=3e-4 --set data.source=synthetic
@@ -209,6 +210,33 @@ def cmd_tune(cfg: Config, args) -> int:
     return 0
 
 
+def cmd_serve(cfg: Config, args) -> int:
+    """Persistent batched recommendation server (retrieval/server.py) over
+    the configured index. Loads embeddings the same way recommend does."""
+    from ..retrieval.server import BatchingRecommender, make_http_server
+
+    logger = MetricsLogger()
+    tr, emb = _load_or_compute_embeddings(cfg, args, logger)
+    rec = BatchingRecommender(
+        emb, method=cfg.search.search_method, cfg=cfg,
+        max_batch=cfg.serve.max_batch, max_wait_ms=cfg.serve.max_wait_ms,
+        max_k=cfg.serve.max_k,
+    )
+    port = args.port if args.port is not None else cfg.serve.port
+    httpd = make_http_server(rec, cfg.serve.host, port,
+                             movie_ids=tr.data.movie_ids, titles=tr.data.titles)
+    logger.log("serving", host=cfg.serve.host, port=httpd.server_address[1],
+               ntotal=rec.ntotal, method=rec.method)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        rec.close()
+    return 0
+
+
 def cmd_demo(cfg: Config, args) -> int:
     from .demo import run_demo
 
@@ -229,7 +257,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("mode", choices=[
         "train", "evaluate", "recommend", "benchmark", "tune", "demo",
-        "download", "all",
+        "serve", "download", "all",
     ])
     ap.add_argument("--config", help="path to a Config JSON")
     ap.add_argument("--set", action="append", default=[],
@@ -241,6 +269,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-queries", type=int, default=256,
                     help="benchmark query count")
+    ap.add_argument("--port", type=int, default=None,
+                    help="serve mode: listen port (default serve.port)")
     ap.add_argument("--use-saved-embeddings", action="store_true")
     ap.add_argument("--save-csv", action="store_true")
     ap.add_argument("--profile", metavar="DIR",
@@ -272,6 +302,7 @@ def main(argv: list[str] | None = None) -> int:
         "benchmark": cmd_benchmark,
         "tune": cmd_tune,
         "demo": cmd_demo,
+        "serve": cmd_serve,
         "download": cmd_download,
     }[args.mode](cfg, args)
 

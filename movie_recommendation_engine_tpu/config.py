@@ -203,6 +203,18 @@ class SearchConfig:
 
 
 @dataclass
+class ServeConfig:
+    """Batched recommendation server (retrieval/server.py). New — the
+    reference has no serving runtime (closest: demo.py's interactive menu)."""
+
+    host: str = "127.0.0.1"
+    port: int = 8321
+    max_batch: int = 64          # requests packed into one device search
+    max_wait_ms: float = 2.0     # batching linger before a partial batch runs
+    max_k: int = 100             # static top-k searched per program shape
+
+
+@dataclass
 class MeshConfig:
     """TPU device-mesh layout. New — the reference is single-device
     (run.py:87); see SURVEY.md §2b."""
@@ -233,6 +245,7 @@ class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
     search: SearchConfig = field(default_factory=SearchConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     paths: PathConfig = field(default_factory=PathConfig)
 
