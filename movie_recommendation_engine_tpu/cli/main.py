@@ -116,7 +116,16 @@ def _load_or_compute_embeddings(cfg: Config, args, logger):
         tr.load_checkpoint(path)
     if args.use_saved_embeddings and os.path.exists(emb_path):
         emb, movie_ids = ckpt.load_embeddings(emb_path)
-        return tr, emb
+        # Saved rows must correspond 1:1 to this dataset's movie indices —
+        # otherwise every id/title lookup downstream is misaligned (e.g.
+        # embeddings saved from one dataset served against another).
+        if (len(movie_ids) == len(tr.data.movie_ids)
+                and np.array_equal(np.asarray(movie_ids, np.int64),
+                                   np.asarray(tr.data.movie_ids, np.int64))):
+            return tr, emb
+        logger.log("saved_embeddings_mismatch", path=emb_path,
+                   saved_rows=int(len(movie_ids)),
+                   dataset_rows=int(len(tr.data.movie_ids)))
     return tr, np.asarray(tr.movie_embeddings())
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -48,6 +49,10 @@ def _buckets(max_batch: int) -> list[int]:
     return out
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
+
+
 @dataclass
 class _Request:
     query: np.ndarray            # [D] f32
@@ -58,20 +63,23 @@ class _Request:
 
 
 class ServerStats:
-    """Latency / batching counters (thread-safe, lock held by caller)."""
+    """Latency / batching counters (thread-safe, lock held by caller).
+    Bounded ring buffers — a persistent server must not grow without limit."""
+
+    WINDOW = 10_000
 
     def __init__(self):
         self.num_requests = 0
         self.num_batches = 0
-        self.latencies_ms: list[float] = []
-        self.batch_sizes: list[int] = []
+        self.latencies_ms: deque[float] = deque(maxlen=self.WINDOW)
+        self.batch_sizes: deque[int] = deque(maxlen=self.WINDOW)
 
     def snapshot(self) -> dict:
-        lat = np.asarray(self.latencies_ms[-10000:] or [0.0])
+        lat = np.asarray(self.latencies_ms or [0.0])
         return {
             "num_requests": self.num_requests,
             "num_batches": self.num_batches,
-            "mean_batch_size": float(np.mean(self.batch_sizes[-10000:] or [0])),
+            "mean_batch_size": float(np.mean(self.batch_sizes or [0])),
             "latency_ms_p50": float(np.percentile(lat, 50)),
             "latency_ms_p95": float(np.percentile(lat, 95)),
             "latency_ms_p99": float(np.percentile(lat, 99)),
@@ -87,14 +95,17 @@ class BatchingRecommender:
 
     def __init__(self, embeddings: np.ndarray, method: str = "exact",
                  cfg=None, max_batch: int = 64, max_wait_ms: float = 2.0,
-                 max_k: int = 100, exclusion_headroom: int = 16):
+                 max_k: int = 100, exclusion_headroom: int = 16,
+                 warmup: bool = True):
         self.emb = np.asarray(embeddings, dtype=np.float32)
         self.dim = int(self.emb.shape[1])
         self.ntotal = int(self.emb.shape[0])
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_k = int(min(max_k, self.ntotal))
-        # Always search this many so post-hoc exclusion can't starve a request.
+        # Baseline over-fetch so post-hoc exclusion doesn't starve typical
+        # requests; batches whose exclude lists exceed the headroom get a
+        # larger pow2-bucketed search_k in _execute (still a bounded shape set).
         self._search_k = min(self.max_k + exclusion_headroom, self.ntotal)
         self._bucket_sizes = _buckets(self.max_batch)
 
@@ -107,6 +118,15 @@ class BatchingRecommender:
         self._not_empty = threading.Condition(self._lock)
         self._stats = ServerStats()
         self._closed = False
+        if warmup:
+            # Compile every batch bucket at the baseline search_k BEFORE
+            # accepting traffic — otherwise the first request landing in each
+            # bucket pays full XLA compilation inline (seconds to minutes per
+            # shape on a remote-compile backend).
+            z = np.zeros((1, self.dim), np.float32)
+            for b in self._bucket_sizes:
+                d, i = self.index.search(np.repeat(z, b, axis=0), k=self._search_k)
+                np.asarray(d), np.asarray(i)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -135,6 +155,8 @@ class BatchingRecommender:
     def submit(self, query: np.ndarray, k: int, exclude: np.ndarray) -> Future:
         if query.shape != (self.dim,):
             raise ValueError(f"query must be [{self.dim}], got {query.shape}")
+        if int(k) < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         k = int(min(k, self.max_k))
         req = _Request(query.astype(np.float32), k,
                        np.asarray(exclude, np.int64))
@@ -190,7 +212,13 @@ class BatchingRecommender:
         bucket = next(b for b in self._bucket_sizes if b >= n)
         q = np.zeros((bucket, self.dim), np.float32)
         q[:n] = np.stack([r.query for r in batch])
-        d, i = self.index.search(q, k=self._search_k)
+        # Over-fetch enough that exclusion can't starve any request in the
+        # batch; pow2-bucket the occasional large-exclude searches so the
+        # compiled-shape set stays bounded.
+        need = max(r.k + len(r.exclude) for r in batch)
+        search_k = (self._search_k if need <= self._search_k
+                    else min(_next_pow2(need), self.ntotal))
+        d, i = self.index.search(q, k=search_k)
         d, i = np.asarray(d), np.asarray(i)   # host materialization = sync
         now = time.perf_counter()
         for row, r in enumerate(batch):
@@ -269,8 +297,10 @@ def make_http_server(rec: BatchingRecommender, host: str = "127.0.0.1",
                     idx = to_idx(int(qs["movie_id"][0]))
                     k = int(qs.get("k", ["10"])[0])
                     return self._send(200, render(rec.recommend_by_item(idx, k)))
-                except (KeyError, ValueError, IndexError) as e:
+                except (KeyError, ValueError, IndexError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
+                except Exception as e:  # worker/index failure — report, don't
+                    return self._send(500, {"error": str(e)})  # drop the conn
             return self._send(404, {"error": "not found"})
 
         def do_POST(self):
@@ -279,6 +309,8 @@ def make_http_server(rec: BatchingRecommender, host: str = "127.0.0.1",
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("request body must be a JSON object")
                 k = int(body.get("k", 10))
                 if "history" in body:
                     idxs = [to_idx(m) for m in body["history"]]
@@ -290,7 +322,11 @@ def make_http_server(rec: BatchingRecommender, host: str = "127.0.0.1",
                 else:
                     raise ValueError("need movie_id, history, or vector")
                 return self._send(200, render(out))
-            except (KeyError, ValueError, IndexError) as e:
+            except (KeyError, ValueError, IndexError, TypeError) as e:
+                # Malformed input of any shape (k=null -> TypeError, history
+                # not a list -> TypeError, ...) is a client error.
                 return self._send(400, {"error": str(e)})
+            except Exception as e:
+                return self._send(500, {"error": str(e)})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -69,25 +69,44 @@ def test_out_of_range_rejected(rec):
         rec.recommend_by_history([])
 
 
-def test_concurrent_requests_all_correct_and_batched(rec):
-    results = {}
+def test_concurrent_requests_all_correct_and_batched():
+    emb = _unit_rows(256, 16)
+    r = BatchingRecommender(emb, method="exact", max_batch=16,
+                            max_wait_ms=200.0, max_k=32)
+    try:
+        # Non-blocking submits: all 48 are queued well inside the 200 ms
+        # batching linger, so coalescing is deterministic (3 batches of 16).
+        futures = [r.submit(emb[i], 3, np.asarray([i])) for i in range(48)]
+        for i, f in enumerate(futures):
+            expect = _exact_topk(emb, emb[i], 3, exclude=[i])
+            assert f.result(timeout=30)["indices"] == [int(j) for j in expect]
+        s = r.stats()
+        assert s["num_requests"] == 48
+        assert s["num_batches"] < s["num_requests"]
+        assert s["mean_batch_size"] > 1
+        assert s["latency_ms_p50"] > 0
+    finally:
+        r.close()
 
-    def worker(i):
-        results[i] = rec.recommend_by_item(i, k=3)
 
-    threads = [threading.Thread(target=worker, args=(i,)) for i in range(48)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    for i in range(48):
-        expect = _exact_topk(rec.emb, rec.emb[i], 3, exclude=[i])
-        assert results[i]["indices"] == [int(j) for j in expect]
-    s = rec.stats()
-    assert s["num_requests"] >= 48
-    # Concurrency must actually coalesce: strictly fewer batches than requests.
-    assert s["num_batches"] < s["num_requests"]
-    assert s["latency_ms_p50"] > 0
+def test_rejects_bad_k(rec):
+    with pytest.raises(ValueError):
+        rec.recommend_by_item(3, k=0)
+    with pytest.raises(ValueError):
+        rec.recommend_by_item(3, k=-1)
+
+
+def test_large_history_exclusion_not_starved():
+    emb = _unit_rows(200, 16, seed=3)
+    r = BatchingRecommender(emb, method="exact", max_batch=4, max_k=64,
+                            exclusion_headroom=4)
+    try:
+        hist = list(range(60))  # exclude list far beyond the headroom
+        out = r.recommend_by_history(hist, k=64)
+        assert len(out["indices"]) == 64  # over-fetch grew to cover exclusion
+        assert not set(hist) & set(out["indices"])
+    finally:
+        r.close()
 
 
 def test_lsh_method_recall():
@@ -132,12 +151,22 @@ def test_http_server_roundtrip():
         assert len(got["indices"]) == 3
         assert not {0, 1} & set(got["indices"])
 
-        # Unknown movieId -> 400 with an error message.
-        try:
-            urllib.request.urlopen(f"{base}/recommend?movie_id=999999")
-            assert False, "expected HTTP 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # Malformed requests -> 400 with a JSON error, not a dropped
+        # connection: unknown movieId, k=null, non-dict body, negative k.
+        def expect_400(url, data=None):
+            req = (urllib.request.Request(url, data=data) if data else url)
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "error" in json.load(e)
+
+        expect_400(f"{base}/recommend?movie_id=999999")
+        expect_400(f"{base}/recommend?movie_id=51&k=-2")
+        expect_400(f"{base}/recommend", json.dumps({"movie_id": 51, "k": None}).encode())
+        expect_400(f"{base}/recommend", json.dumps([1, 2, 3]).encode())
+        expect_400(f"{base}/recommend", json.dumps({"history": 3}).encode())
 
         stats = json.load(urllib.request.urlopen(f"{base}/stats"))
         assert stats["num_requests"] >= 2
