@@ -196,7 +196,11 @@ def cmd_benchmark(cfg: Config, args) -> int:
     rng = np.random.default_rng(cfg.train.seed)
     nq = min(args.num_queries, emb.shape[0])
     q = emb[rng.choice(emb.shape[0], nq, replace=False)]
-    results = benchmark_search_methods(emb, q, k=args.k, cfg=cfg)
+    methods = ["exact", "lsh", "ivf"]
+    if cfg.search.search_method not in methods:
+        methods.append(cfg.search.search_method)  # e.g. sharded_exact
+    results = benchmark_search_methods(emb, q, k=args.k, cfg=cfg,
+                                       methods=methods)
     print_benchmark(results, k=args.k)
     return 0
 

@@ -194,7 +194,7 @@ class EvalConfig:
 class SearchConfig:
     """ANN retrieval (reference ``config.py:48-53``)."""
 
-    search_method: str = "exact"       # exact | lsh | ivf
+    search_method: str = "exact"       # exact | lsh | ivf | sharded_exact
     lsh_bits: int = 256
     lsh_tables: int = 16
     ivf_partitions: int = 100

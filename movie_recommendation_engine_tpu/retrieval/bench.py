@@ -21,9 +21,20 @@ from .lsh import LSHIndex
 
 
 def make_index(method: str, dim: int, cfg=None, seed: int = 0):
-    """Index factory honoring SearchConfig (config.py:48-53)."""
+    """Index factory honoring SearchConfig (config.py:48-53).
+    "sharded_exact" distributes exact search over a row-sharded corpus on
+    the device mesh (cfg.mesh.mesh_shape, else all devices on one axis)."""
     if method == "exact":
         return ExactIndex(dim)
+    if method == "sharded_exact":
+        from .sharded import ShardedExactIndex
+
+        mesh = None
+        if cfg is not None and cfg.mesh.mesh_shape is not None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(tuple(cfg.mesh.mesh_shape))
+        return ShardedExactIndex(dim, mesh=mesh)
     if method == "lsh":
         bits = cfg.search.lsh_bits if cfg else 256
         tables = cfg.search.lsh_tables if cfg else 16
@@ -65,6 +76,7 @@ def benchmark_search_methods(
     methods = methods or ["exact", "lsh", "ivf"]
     names = {
         "exact": "Exact (Brute Force)",
+        "sharded_exact": "Exact (row-sharded over device mesh)",
         "lsh": "Locality-Sensitive Hashing",
         "ivf": "Weak AND (IVF)",
     }

@@ -49,3 +49,45 @@ def test_sharded_topk_k_larger_than_chunk(mesh8):
     ref_idx = np.argsort(-dense, axis=1)[:, :4]
     for r in range(2):
         assert set(np.asarray(idx)[r]) == set(ref_idx[r])
+
+
+def test_sharded_exact_index_matches_exact(mesh8):
+    from movie_recommendation_engine_tpu.retrieval.exact import ExactIndex
+
+    rng = np.random.default_rng(2)
+    n, d = 103, 16  # deliberately NOT divisible by the 4-way model axis
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+
+    ref = ExactIndex(d)
+    ref.build(emb)
+    rd, ri = (np.asarray(x) for x in ref.search(q, k=9))
+
+    idx = sharded.ShardedExactIndex(d, mesh=mesh8)
+    idx.build(emb)
+    assert idx.ntotal == n
+    sd, si = (np.asarray(x) for x in idx.search(q, k=9))
+
+    np.testing.assert_allclose(np.sort(sd, axis=1), np.sort(rd, axis=1),
+                               atol=1e-4)
+    for r in range(q.shape[0]):
+        assert set(si[r]) == set(ri[r]), r
+        assert si[r].max() < n  # padding rows never surface
+
+
+def test_server_over_sharded_index():
+    from movie_recommendation_engine_tpu.retrieval.server import (
+        BatchingRecommender,
+    )
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((90, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    r = BatchingRecommender(emb, method="sharded_exact", max_batch=4, max_k=8)
+    try:
+        out = r.recommend_by_item(5, k=4)
+        dense = ((emb[5][None, :] - emb) ** 2).sum(axis=1)
+        expect = [i for i in np.argsort(dense) if i != 5][:4]
+        assert out["indices"] == [int(i) for i in expect]
+    finally:
+        r.close()
