@@ -15,6 +15,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -57,6 +59,40 @@ inline const char* next_line(const char* p, const char* end) {
   return p < end ? p + 1 : end;
 }
 
+// Parses rows in [p, end). With null outputs, only counts parseable rows
+// (the count and write passes MUST share this logic: malformed rows are
+// skipped, so newline counting alone over-counts). Returns rows handled.
+long long parse_range(const char* p, const char* end, int32_t* user_ids,
+                      int32_t* movie_ids, float* ratings, int64_t* timestamps,
+                      long long capacity) {
+  long long n = 0;
+  while (p < end && n < capacity) {
+    if (*p < '0' || *p > '9') {  // blank/garbage line
+      p = next_line(p, end);
+      continue;
+    }
+    int64_t user = parse_int(&p, end);
+    if (p >= end || *p != ',') { p = next_line(p, end); continue; }
+    ++p;
+    int64_t movie = parse_int(&p, end);
+    if (p >= end || *p != ',') { p = next_line(p, end); continue; }
+    ++p;
+    float rating = parse_rating(&p, end);
+    if (p >= end || *p != ',') { p = next_line(p, end); continue; }
+    ++p;
+    int64_t ts = parse_int(&p, end);
+    if (user_ids) {
+      user_ids[n] = static_cast<int32_t>(user);
+      movie_ids[n] = static_cast<int32_t>(movie);
+      ratings[n] = rating;
+      timestamps[n] = ts;
+    }
+    p = next_line(p, end);
+    ++n;
+  }
+  return n;
+}
+
 }  // namespace
 
 extern "C" {
@@ -80,11 +116,17 @@ long long ingest_count_rows(const char* path) {
   return newlines;  // upper bound; parse returns the exact count
 }
 
-// Parses up to `capacity` rows into the four output arrays.
+// Parses up to `capacity` rows into the four output arrays with
+// `num_threads` worker threads (1 = fully serial, the original path).
+// Row order is preserved: the file is split on line boundaries into one
+// contiguous byte range per thread; a count pass sizes each thread's output
+// offset (prefix sum), then a write pass parses in place. Both passes share
+// parse_range so malformed-row skipping can't desynchronize offsets.
 // Returns the number of rows parsed, or -1 on open failure.
-long long ingest_parse_ratings(const char* path, int32_t* user_ids,
-                               int32_t* movie_ids, float* ratings,
-                               int64_t* timestamps, long long capacity) {
+long long ingest_parse_ratings_mt(const char* path, int32_t* user_ids,
+                                  int32_t* movie_ids, float* ratings,
+                                  int64_t* timestamps, long long capacity,
+                                  int num_threads) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
@@ -97,31 +139,71 @@ long long ingest_parse_ratings(const char* path, int32_t* user_ids,
   }
   long long got = (long long)fread(data, 1, size, f);
   fclose(f);
-  const char* p = data;
+  const char* begin = next_line(data, data + got);  // skip header
   const char* end = data + got;
 
-  p = next_line(p, end);  // skip header
-  long long n = 0;
-  while (p < end && n < capacity) {
-    if (*p < '0' || *p > '9') {  // blank/garbage line
-      p = next_line(p, end);
-      continue;
+  if (num_threads < 1) num_threads = 1;
+  long long span = end - begin;
+  if (num_threads == 1 || span < (1 << 20)) {
+    long long n = parse_range(begin, end, user_ids, movie_ids, ratings,
+                              timestamps, capacity);
+    free(data);
+    return n;
+  }
+
+  // Line-aligned range starts.
+  std::vector<const char*> starts(num_threads + 1);
+  starts[0] = begin;
+  for (int t = 1; t < num_threads; ++t) {
+    const char* guess = begin + span * t / num_threads;
+    starts[t] = guess < end ? next_line(guess, end) : end;
+    if (starts[t] < starts[t - 1]) starts[t] = starts[t - 1];
+  }
+  starts[num_threads] = end;
+
+  // Pass 1: per-range valid-row counts.
+  std::vector<long long> counts(num_threads, 0);
+  {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < num_threads; ++t) {
+      ws.emplace_back([&, t] {
+        counts[t] = parse_range(starts[t], starts[t + 1], nullptr, nullptr,
+                                nullptr, nullptr, capacity);
+      });
     }
-    user_ids[n] = static_cast<int32_t>(parse_int(&p, end));
-    if (p >= end || *p != ',') { p = next_line(p, end); continue; }
-    ++p;
-    movie_ids[n] = static_cast<int32_t>(parse_int(&p, end));
-    if (p >= end || *p != ',') { p = next_line(p, end); continue; }
-    ++p;
-    ratings[n] = parse_rating(&p, end);
-    if (p >= end || *p != ',') { p = next_line(p, end); continue; }
-    ++p;
-    timestamps[n] = parse_int(&p, end);
-    p = next_line(p, end);
-    ++n;
+    for (auto& w : ws) w.join();
+  }
+  std::vector<long long> offsets(num_threads + 1, 0);
+  for (int t = 0; t < num_threads; ++t) {
+    offsets[t + 1] = offsets[t] + counts[t];
+  }
+  if (offsets[num_threads] > capacity) {  // caller's buffer is too small
+    free(data);
+    return -1;
+  }
+
+  // Pass 2: parse into disjoint output slices.
+  {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < num_threads; ++t) {
+      ws.emplace_back([&, t] {
+        parse_range(starts[t], starts[t + 1], user_ids + offsets[t],
+                    movie_ids + offsets[t], ratings + offsets[t],
+                    timestamps + offsets[t], counts[t]);
+      });
+    }
+    for (auto& w : ws) w.join();
   }
   free(data);
-  return n;
+  return offsets[num_threads];
+}
+
+// Single-threaded entry kept for ABI compatibility.
+long long ingest_parse_ratings(const char* path, int32_t* user_ids,
+                               int32_t* movie_ids, float* ratings,
+                               int64_t* timestamps, long long capacity) {
+  return ingest_parse_ratings_mt(path, user_ids, movie_ids, ratings,
+                                 timestamps, capacity, 1);
 }
 
 }  // extern "C"

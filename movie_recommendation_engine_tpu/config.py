@@ -139,7 +139,10 @@ class TrainConfig:
     margin: float = 0.1
     num_negative_samples: int = 500
     hard_neg_factor: float = 2.0
-    num_workers: int = 4               # host-side prefetch threads
+    # Host-side ingest parallelism: native ratings-CSV parser threads and
+    # concurrent movies/ratings/tags loads (the reference declares NUM_WORKERS
+    # but never uses it, config.py:39 — honored here, graph/dataset.py).
+    num_workers: int = 4
     val_ratio: float = 0.1
     test_ratio: float = 0.2
     # Cap on positive pairs per epoch; the reference subsamples <=1000

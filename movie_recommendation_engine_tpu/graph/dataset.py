@@ -178,29 +178,51 @@ def load_synthetic(cfg: Config) -> MovieLensData:
 
 
 def load_movielens_csv(cfg: Config) -> MovieLensData:
-    """Load movies/ratings/tags CSVs from cfg.data.data_dir (pandas).
+    """Load movies/ratings/tags CSVs from cfg.data.data_dir.
 
-    Mirrors reference ``data/dataset.py:41-75``. The optional C++ fast-path
-    ingest (cpp/ingest) is used for ratings.csv when the extension is built.
+    Mirrors reference ``data/dataset.py:41-75``. The C++ fast-path ingest
+    (cpp/ingest) parses ratings.csv when the extension builds — with
+    ``cfg.train.num_workers`` parser threads — and the three files load
+    concurrently on a ``num_workers`` thread pool (the reference declares
+    NUM_WORKERS but never uses it, config.py:39; here it is honored).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pandas as pd
 
     d = cfg.data.data_dir
-    movies = pd.read_csv(os.path.join(d, "movies.csv"))
-    ratings = None
-    try:
-        from ..utils import ingest_native
-        ratings_cols = ingest_native.read_ratings_csv(os.path.join(d, "ratings.csv"))
-    except Exception:
-        ratings_cols = None
-    if ratings_cols is None:
-        ratings = pd.read_csv(os.path.join(d, "ratings.csv"))
-        ratings_cols = (
-            ratings["userId"].to_numpy(),
-            ratings["movieId"].to_numpy(),
-            ratings["rating"].to_numpy(np.float32),
-            ratings["timestamp"].to_numpy(np.int64),
-        )
+    workers = max(int(cfg.train.num_workers), 1)
+
+    def load_ratings():
+        try:
+            from ..utils import ingest_native
+
+            return ingest_native.read_ratings_csv(
+                os.path.join(d, "ratings.csv"), num_threads=workers
+            )
+        except Exception:
+            ratings = pd.read_csv(os.path.join(d, "ratings.csv"))
+            return (
+                ratings["userId"].to_numpy(),
+                ratings["movieId"].to_numpy(),
+                ratings["rating"].to_numpy(np.float32),
+                ratings["timestamp"].to_numpy(np.int64),
+            )
+
+    def load_tags():
+        tags_path = os.path.join(d, "tags.csv")
+        if not os.path.exists(tags_path):
+            return None
+        tags = pd.read_csv(tags_path)
+        return tags["movieId"].to_numpy(), tags["tag"].astype(str).to_numpy()
+
+    with ThreadPoolExecutor(max_workers=min(workers, 3)) as pool:
+        f_movies = pool.submit(pd.read_csv, os.path.join(d, "movies.csv"))
+        f_ratings = pool.submit(load_ratings)
+        f_tags = pool.submit(load_tags)
+        movies = f_movies.result()
+        ratings_cols = f_ratings.result()
+        tag_cols = f_tags.result()
 
     raw: dict = {
         "movie_ids": movies["movieId"].to_numpy(),
@@ -211,11 +233,8 @@ def load_movielens_csv(cfg: Config) -> MovieLensData:
         "rating_values": ratings_cols[2],
         "rating_timestamps": ratings_cols[3],
     }
-    tags_path = os.path.join(d, "tags.csv")
-    if os.path.exists(tags_path):
-        tags = pd.read_csv(tags_path)
-        raw["tag_movie_ids"] = tags["movieId"].to_numpy()
-        raw["tag_values"] = tags["tag"].astype(str).to_numpy()
+    if tag_cols is not None:
+        raw["tag_movie_ids"], raw["tag_values"] = tag_cols
     return _from_columns(raw, cfg)
 
 

@@ -52,3 +52,29 @@ def test_no_trailing_newline(tmp_path):
     assert u.tolist() == [7] and m.tolist() == [8]
     np.testing.assert_allclose(r, [4.5])
     assert t.tolist() == [123]
+
+
+def test_multithreaded_parse_matches_serial(tmp_path):
+    # >1MB so the MT path actually engages (below that it runs serially),
+    # with malformed lines scattered to exercise count/write-pass agreement.
+    rng = np.random.default_rng(0)
+    n = 80_000
+    rows = []
+    for i in range(n):
+        rows.append(f"{rng.integers(1, 10_000)},{rng.integers(1, 60_000)},"
+                    f"{rng.integers(1, 10) * 0.5},{rng.integers(1e9, 2e9)}")
+        if i % 997 == 0:
+            rows.append("garbage line !!")
+        if i % 1013 == 0:
+            rows.append(f"{i},brokenrow")
+    p = tmp_path / "big.csv"
+    p.write_text("userId,movieId,rating,timestamp\n" + "\n".join(rows) + "\n")
+    assert p.stat().st_size > (1 << 20)
+    try:
+        st = ingest_native.read_ratings_csv(str(p), num_threads=1)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"native toolchain unavailable: {e}")
+    mt = ingest_native.read_ratings_csv(str(p), num_threads=7)
+    assert st[0].shape[0] == n  # malformed rows skipped
+    for a, b in zip(st, mt):
+        np.testing.assert_array_equal(a, b)  # order preserved
