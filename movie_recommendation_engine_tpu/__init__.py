@@ -12,3 +12,14 @@ retrieval. See SURVEY.md for the capability contract.
 __version__ = "0.1.0"
 
 from .config import Config, default_config, small_test_config  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy: `api` pulls in jax/trainer; keep bare package import light.
+    # (importlib, not `from . import api` — that getattr's the package and
+    # would re-enter this hook.)
+    if name == "api":
+        import importlib
+
+        return importlib.import_module(".api", __name__)
+    raise AttributeError(name)
