@@ -162,8 +162,8 @@ class TrainConfig:
     # "curriculum" (reference parity, model/loss.py).
     loss: str = "nce"
     nce_temperature: float = 0.1
-    # Neighborhood tables are resampled every N epochs (0 = every step). The
-    # reference samples fresh on every get_embeddings call
+    # Neighborhood tables are resampled every N epochs (0 = sample once and
+    # keep). The reference samples fresh on every get_embeddings call
     # (model/pinsage.py:271-275); per-epoch refresh is the TPU-friendly
     # equivalent that keeps the train step a pure jitted program.
     refresh_neighborhoods_every: int = 1

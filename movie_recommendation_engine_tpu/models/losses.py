@@ -71,18 +71,29 @@ def curriculum_loss(
     positive: jax.Array,
     random_negatives: jax.Array,          # [N, D] shared or [B, N, D]
     hard_negatives: jax.Array | None,     # [B, H, D] or None
-    epoch: int,
+    epoch,                                # int or traced scalar
     margin: float = 0.1,
     max_epochs: int = 10,
     hard_negative_factor: float = 2.0,
 ) -> jax.Array:
-    """model/loss.py:143-176. ``epoch`` and the None-ness of hard negatives
-    are static (Python-level) so the jitted step specializes per phase."""
-    base = max_margin_loss(query, positive, random_negatives, margin)
-    if epoch < 1 or hard_negatives is None:
+    """model/loss.py:143-176. Only the None-ness of hard negatives is static;
+    ``epoch`` may be a traced scalar so the jitted train step does NOT
+    recompile every epoch (hard_weight is 0 at epoch 0, subsuming the
+    reference's epoch<1 branch). A 2-D ``random_negatives`` is always the
+    shared pool — never row-paired — so a pool that happens to equal the
+    batch size can't silently change the objective."""
+    if random_negatives.ndim == 2:
+        base = shared_pool_max_margin_loss(query, positive, random_negatives,
+                                           margin)
+    else:
+        base = max_margin_loss(query, positive, random_negatives, margin)
+    if hard_negatives is None:
         return base
     hard = max_margin_loss(query, positive, hard_negatives, margin)
-    hard_weight = min(epoch, max_epochs) / max_epochs * hard_negative_factor
+    hard_weight = (
+        jnp.minimum(jnp.asarray(epoch, jnp.float32), float(max_epochs))
+        / max_epochs * hard_negative_factor
+    )
     return base + hard_weight * hard
 
 

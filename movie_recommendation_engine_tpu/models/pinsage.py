@@ -235,27 +235,33 @@ def dense_pool_matrix_direct(
     )
 
 
-def build_pool_matrix_chunked(
+def build_pool_matrix(
     nbrs: jax.Array,      # [N, K] int32
     weights: jax.Array,   # [N, K] f32
     num_cols: int,
     valid_limit: int | None = None,
     dtype=jnp.bfloat16,
-    row_chunk: int = 8192,
+    direct_above_rows: int = 8192,
 ) -> jax.Array:
-    """Memory-bounded ``dense_pool_matrix``: small tables keep the
-    f32-accumulate build; large tables scatter straight into the ``dtype``
-    buffer (``dense_pool_matrix_direct``) so peak memory is the one [N,
-    num_cols] output (7 GB bf16 at ML-25M scale) instead of the 13.9 GB f32
-    intermediate. This is what makes the dense MXU pooling path viable at
-    59k rows (pooled_forward_batch's hybrid mode)."""
+    """Memory-aware ``dense_pool_matrix``: tables up to ``direct_above_rows``
+    keep the f32-accumulate build; larger ones scatter straight into the
+    ``dtype`` buffer (``dense_pool_matrix_direct``) so peak memory is the one
+    [N, num_cols] output (7 GB bf16 at ML-25M scale) instead of the 13.9 GB
+    f32 intermediate. (A chunked build relying on cross-call buffer donation
+    was abandoned — donation is not honored over the remote-PJRT tunnel and
+    it double-buffered into OOM.) This threshold switch is what makes the
+    dense MXU pooling path viable at 59k rows (hybrid mode)."""
     n = int(nbrs.shape[0])
-    if n <= row_chunk:
+    if n <= direct_above_rows:
         return dense_pool_matrix(nbrs, weights, num_cols, valid_limit, dtype)
     build = jax.jit(dense_pool_matrix_direct,
                     static_argnames=("num_cols", "valid_limit", "dtype"))
     return build(nbrs, weights, num_cols=num_cols, valid_limit=valid_limit,
                  dtype=dtype)
+
+
+# Former name (the chunked-donation design it described is gone).
+build_pool_matrix_chunked = build_pool_matrix
 
 
 def pooled_forward_dense(

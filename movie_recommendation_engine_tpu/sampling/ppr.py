@@ -44,25 +44,24 @@ def ppr_scores(
     )
     row_sum = jax.ops.segment_sum(graph.weights, src_of_edge, num_segments=num_nodes)
     wnorm = graph.weights / jnp.maximum(jnp.take(row_sum, src_of_edge), 1e-12)
-    # Dangling nodes keep their residual (the reference only pushes when a
-    # node has neighbors, random_walk.py:180-185 — the mass parks there and
-    # keeps accruing ppr via the teleport term).
-    has_out = jnp.take(row_sum, src_of_edge) > 0
 
     r = jax.nn.one_hot(sources, num_nodes, dtype=jnp.float32)   # residual
     ppr = jnp.zeros_like(r)
 
     def body(_, state):
+        # Every node with residual absorbs the teleport term and then resets;
+        # dangling nodes simply drop the rest of their mass — exactly the
+        # reference push (random_walk.py:173-189: residual[node] = 0 whether
+        # or not the node has neighbors). Total ppr mass stays <= 1; carrying
+        # dangling residual undecayed would grow sink scores linearly with
+        # num_iterations.
         ppr, r = state
         ppr = ppr + alpha * r
         msg = r[:, src_of_edge] * wnorm[None, :]                 # [B, E]
         pushed = jax.vmap(
             lambda m: jax.ops.segment_sum(m, graph.indices, num_segments=num_nodes)
         )(msg)
-        dangling_mass = jnp.where(
-            row_sum[None, :] > 0, 0.0, r
-        )
-        r = (1.0 - alpha) * pushed + dangling_mass
+        r = (1.0 - alpha) * pushed
         return ppr, r
 
     ppr, r = jax.lax.fori_loop(0, num_iterations, body, (ppr, r))

@@ -96,7 +96,10 @@ class Trainer:
             self.x_table = jnp.asarray(
                 feat_mod.node_feature_table(movie_features, data.num_users)
             )
-            self.valid_limit = None
+            # Mask sentinel ids (== num_nodes) explicitly: with sharded
+            # tables the row padding extends past the sentinel, and a None
+            # limit would let empty slots gather pad rows / absorb weight.
+            self.valid_limit = self.csr.num_nodes
         self.table_rows = int(self.x_table.shape[0])
 
         # ---- splits & pairs ------------------------------------------------
@@ -254,7 +257,7 @@ class Trainer:
             }[cfg.model.pool_matrix_dtype]
             mats = []
             for nbrs, w in tables[:n_dense]:
-                a = pinsage.build_pool_matrix_chunked(
+                a = pinsage.build_pool_matrix(
                     nbrs, w, num_cols=self.table_rows,
                     valid_limit=self.valid_limit,
                 )
@@ -278,7 +281,7 @@ class Trainer:
 
     @partial(
         jax.jit,
-        static_argnames=("self", "num_hard", "epoch_static"),
+        static_argnames=("self", "num_hard"),
         donate_argnames=("params", "opt_state"),
     )
     def _run_steps(
@@ -289,12 +292,16 @@ class Trainer:
         nbrs_l: tuple,         # never baked into the program as constants
         w_l: tuple,
         pool_mats: tuple,      # per-layer [N, N] dense pool matrices, or ()
+        graph,                 # DeviceGraph — arg for the same reason: the
+                               # E-sized CSR must not become program constants
         q_blk: jax.Array,      # [S, B] int32
         p_blk: jax.Array,      # [S, B] int32
         key: jax.Array,
         lr: jax.Array,
+        epoch: jax.Array,      # traced scalar — a static epoch would force a
+                               # full (minutes-long, over the tunnel) recompile
+                               # EVERY epoch; only num_hard (a shape) is static
         num_hard: int,
-        epoch_static: int,
     ):
         cfg = self.cfg
         num_rand = min(cfg.train.num_negative_samples, self.data.num_movies)
@@ -306,12 +313,12 @@ class Trainer:
             k_neg, k_hard, k_drop = jax.random.split(k, 3)
             b = q.shape[0]
 
-            rand_negs = jax.random.choice(
-                k_neg, self.data.num_movies, shape=(num_rand,), replace=False
-            ).astype(jnp.int32)
+            rand_negs = negative.sample_random_negatives(
+                k_neg, self.data.num_movies, num_rand
+            )
             if num_hard > 0:
                 hard_negs = negative.sample_hard_negatives(
-                    self.graph, q, k_hard, num_hard, self.data.num_movies,
+                    graph, q, k_hard, num_hard, self.data.num_movies,
                     num_walks=100, walk_length=cfg.walk.walk_length,
                     min_rank=cfg.train.hard_neg_min_rank,
                     max_rank=cfg.train.hard_neg_max_rank,
@@ -364,7 +371,7 @@ class Trainer:
                         temperature=cfg.train.nce_temperature,
                     )
                 return losses.curriculum_loss(
-                    q_emb, p_emb, r_emb, h_emb, epoch_static,
+                    q_emb, p_emb, r_emb, h_emb, epoch,
                     margin=cfg.train.margin, max_epochs=cfg.train.epochs,
                     hard_negative_factor=cfg.train.hard_neg_factor,
                 )
@@ -405,7 +412,7 @@ class Trainer:
     def train_epoch(self, epoch: int) -> dict[str, float]:
         cfg = self.cfg
         refresh = cfg.train.refresh_neighborhoods_every
-        if self.nbr_tables is None or (refresh and epoch % refresh == 0) or refresh == 0:
+        if self.nbr_tables is None or (refresh and epoch % refresh == 0):
             t0 = time.perf_counter()
             self.refresh_neighborhoods()
             self.log.log("neighborhoods", epoch=epoch,
@@ -443,10 +450,10 @@ class Trainer:
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, step_losses = self._run_steps(
                 self.params, self.opt_state, self.x_table, nbrs_l, w_l,
-                self.pool_mats,
+                self.pool_mats, self.graph,
                 q_all[s0 : s0 + block], p_all[s0 : s0 + block],
-                k, jnp.float32(self.plateau.lr),
-                num_hard=num_hard, epoch_static=epoch,
+                k, jnp.float32(self.plateau.lr), jnp.float32(epoch),
+                num_hard=num_hard,
             )
             losses_dev.append(step_losses)
             if t_after_first is None:
@@ -585,7 +592,9 @@ class Trainer:
                         vp.shape[0], size=cap, replace=False)
                     vp = vp[sel]
                 val = self.evaluate(vp)
-                val_metric = val["hit_rate@10"]
+                # Smallest configured k (the reference tracks HR@10 but
+                # k_values is a knob here — don't KeyError on custom sets).
+                val_metric = val[f"hit_rate@{min(cfg.eval.k_values)}"]
                 stats.update({f"val_{k}": v for k, v in val.items()})
 
             self.plateau = optim.plateau_step(

@@ -45,7 +45,10 @@ def hyperparameter_tuning(
         try:
             tr = Trainer(run_cfg, data, logger)
             tr.fit()
-            ev = tr.evaluate(tr.val_pairs if tr.val_pairs.shape[0] else None)
+            # Always score on the VALIDATION pairs — evaluate(None) would
+            # mean the test set (selection on test = leakage); an empty val
+            # split falls back to the genre-similarity eval inside evaluate.
+            ev = tr.evaluate(tr.val_pairs)
             score = ev.get(metric, 0.0)
             results.append({"lr": lr, "hidden_dim": hd, **ev})
             if score > best["metric"]:

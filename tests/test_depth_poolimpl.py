@@ -144,7 +144,7 @@ def test_chunked_pool_matrix_builder():
     nb = jnp.asarray(nb)
     w = jnp.asarray(rng.random((n, k)).astype(np.float32))
     ref = pinsage.dense_pool_matrix(nb, w, num_cols=cols, valid_limit=30)
-    direct = pinsage.build_pool_matrix_chunked(nb, w, num_cols=cols,
-                                               valid_limit=30, row_chunk=8)
+    direct = pinsage.build_pool_matrix(nb, w, num_cols=cols, valid_limit=30,
+                                       direct_above_rows=8)
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(ref))
     assert direct.dtype == jnp.bfloat16

@@ -108,3 +108,28 @@ def test_trainer_ppr_strategy_end_to_end(tmp_path):
     assert all(np.isfinite(h["loss"]) for h in result["history"])
     emb = np.asarray(tr.movie_embeddings())
     assert np.isfinite(emb).all()
+
+
+def test_ppr_mass_conserved_with_dangling_nodes():
+    """Isolated/sink residual is absorbed once (teleport) then dropped —
+    reference push semantics (random_walk.py:173-189); total ppr <= 1."""
+    import jax.numpy as jnp
+
+    from movie_recommendation_engine_tpu.graph.csr import csr_from_edge_index
+    from movie_recommendation_engine_tpu.sampling import ppr as ppr_mod
+    from movie_recommendation_engine_tpu.sampling import random_walk as rw
+
+    # 0 -> 1 -> 2 (sink); 3 isolated.
+    edges = np.array([[0, 1], [1, 2]]).T
+    csr = csr_from_edge_index(edges, np.ones(2, np.float32), num_nodes=4)
+    g = rw.device_graph(csr)
+    scores = np.asarray(ppr_mod.ppr_scores(
+        g, jnp.asarray([0, 3], jnp.int32), 4, alpha=0.15, num_iterations=20,
+    ))
+    assert scores.shape == (2, 4)
+    assert scores.sum(axis=1).max() <= 1.0 + 1e-5
+    # Isolated source: exactly one teleport absorption.
+    np.testing.assert_allclose(scores[1, 3], 0.15, atol=1e-6)
+    assert scores[1, [0, 1, 2]].max() == 0.0
+    # Chain source: mass decays along the chain, sink doesn't blow up.
+    assert scores[0, 0] > scores[0, 1] > 0

@@ -174,3 +174,63 @@ def test_trainer_mlp_path(tmp_path):
     tr = Trainer(cfg, data)
     out = tr.fit()
     assert np.isfinite(out["history"][0]["loss"])
+
+
+def test_curriculum_shared_pool_not_paired_when_sizes_collide():
+    # A shared pool whose size equals the batch must still be max-over-pool,
+    # not silently row-paired.
+    import jax.numpy as jnp
+
+    from movie_recommendation_engine_tpu.models import losses
+
+    rng = np.random.default_rng(0)
+    b, d = 8, 4
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    pool = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)  # N == B
+    got = losses.curriculum_loss(q, p, pool, None, epoch=0)
+    want = losses.shared_pool_max_margin_loss(q, p, pool)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_curriculum_epoch_traced_and_zero_at_epoch0():
+    import jax
+    import jax.numpy as jnp
+
+    from movie_recommendation_engine_tpu.models import losses
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    pool = jnp.asarray(rng.standard_normal((6, 3)), jnp.float32)
+    hard = jnp.asarray(rng.standard_normal((4, 2, 3)), jnp.float32)
+
+    f = jax.jit(lambda e: losses.curriculum_loss(q, p, pool, hard, e))
+    # Traced epoch: one program serves every epoch value.
+    v0, v3 = np.asarray(f(jnp.float32(0))), np.asarray(f(jnp.float32(3)))
+    base = np.asarray(losses.curriculum_loss(q, p, pool, None, epoch=0))
+    np.testing.assert_allclose(v0, base, rtol=1e-6)  # weight 0 at epoch 0
+    assert v3 != v0
+
+
+def test_train_step_does_not_recompile_per_epoch(tmp_path):
+    from movie_recommendation_engine_tpu.config import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = small_test_config()
+    cfg.train.epochs = 5
+    cfg.train.loss = "curriculum"
+    cfg.train.max_hard_negatives = 1  # num_hard saturates after epoch 1
+    cfg.train.max_pairs_per_epoch = 128
+    cfg.eval.eval_every = 0
+    cfg.paths.checkpoint_dir = str(tmp_path)
+    tr = Trainer(cfg, dataset.load(cfg))
+    size_fn = getattr(type(tr)._run_steps, "_cache_size", None)
+    if size_fn is None:
+        pytest.skip("jit cache introspection unavailable")
+    before = size_fn()
+    tr.fit()
+    # num_hard=0 (epoch 0) and num_hard=1 (epochs 1+) are the only two
+    # programs; a static epoch arg would add one per epoch.
+    assert size_fn() - before <= 2
