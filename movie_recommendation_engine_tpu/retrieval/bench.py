@@ -83,6 +83,12 @@ def benchmark_search_methods(
 
     results: dict[str, dict[str, Any]] = {}
     for method in methods:
+        # Progress to stderr per phase: over the TPU tunnel a single build or
+        # first search can stall for minutes (remote compile / claim wait) —
+        # without these lines a hang is indistinguishable from slow progress.
+        import sys
+
+        print(f"[bench] {method}: building index ...", file=sys.stderr, flush=True)
         index = make_index(method, dim, cfg)
         t_build0 = time.perf_counter()
         index.build(emb)
@@ -91,7 +97,11 @@ def benchmark_search_methods(
             built = getattr(index, "_sigs", None)
         np.asarray(built[:1])   # hard sync
         build_time = time.perf_counter() - t_build0
+        print(f"[bench] {method}: built in {build_time:.1f}s; searching ...",
+              file=sys.stderr, flush=True)
         d, i, search_time, all_times = _timed_search(index, q, k, repeats)
+        print(f"[bench] {method}: search ok ({search_time:.4f}s best)",
+              file=sys.stderr, flush=True)
         nq = max(q.shape[0], 1)
         results[method] = {
             "distances": d,
