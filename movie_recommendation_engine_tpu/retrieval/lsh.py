@@ -38,7 +38,8 @@ class LSHIndex:
     (utils/nearest_neighbors.py:7-68)."""
 
     def __init__(self, dim: int, num_bits: int = 256, num_tables: int = 16,
-                 seed: int = 0, use_pallas: bool | None = None):
+                 seed: int = 0, use_pallas: bool | None = None,
+                 hamming_impl: str | None = None):
         if num_bits % 32:
             raise ValueError("num_bits must be a multiple of 32")
         self.dim = dim
@@ -60,7 +61,25 @@ class LSHIndex:
                 # path cannot build Mosaic kernels (hangs).
                 use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # Hamming scoring form: "popcount" = packed-bit XOR +
+        # lax.population_count (lowest bandwidth; VPU integer ops);
+        # "matmul" = +-1 signatures on the MXU via ham = (B - q.s)/2 —
+        # numerically exact (integer dot products <= 256 accumulate in f32)
+        # and the only form whose program the axon tunnel's remote compiler
+        # accepts at full-corpus scale (the popcount scan hangs it).
+        if hamming_impl is None:
+            import os
+
+            hamming_impl = os.environ.get("MRE_LSH_IMPL")
+            if hamming_impl is None:
+                hamming_impl = (
+                    "matmul" if jax.default_backend() == "axon" else "popcount"
+                )
+        if hamming_impl not in ("popcount", "matmul"):
+            raise ValueError(f"unknown hamming_impl {hamming_impl!r}")
+        self.hamming_impl = hamming_impl
         self._sigs: jax.Array | None = None
+        self._sigs_pm: jax.Array | None = None
 
     @property
     def ntotal(self) -> int:
@@ -90,9 +109,16 @@ class LSHIndex:
     def build(self, embeddings) -> None:
         x = jnp.asarray(embeddings, dtype=jnp.float32)
         self._sigs = self._signatures(x)
+        if self.hamming_impl == "matmul":
+            self._sigs_pm = _unpack_pm(self._sigs)
 
     def search(self, queries, k: int = 10):
         q = jnp.asarray(queries, dtype=jnp.float32)
+        if self.hamming_impl == "matmul":
+            if self._sigs_pm is None:  # built before impl switch
+                self._sigs_pm = _unpack_pm(self._sigs)
+            qsig_pm = _unpack_pm(self._signatures(q))
+            return _hamming_topk_matmul(qsig_pm, self._sigs_pm, k)
         qsig = self._signatures(q)
         if self.use_pallas:
             from ..ops.pallas.hamming import hamming_topk
@@ -104,6 +130,30 @@ class LSHIndex:
                 k, num_tables=t, words=w,
             )
         return _hamming_topk(qsig, self._sigs, k)
+
+
+@jax.jit
+def _unpack_pm(sigs: jax.Array) -> jax.Array:
+    """Packed [N, T, W] uint32 -> +-1 bf16 [N, T, W*32] (bit 1 -> +1)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (sigs[..., None] >> shifts) & jnp.uint32(1)          # [N, T, W, 32]
+    pm = bits.astype(jnp.bfloat16) * 2.0 - 1.0
+    n, t, w, _ = pm.shape
+    return pm.reshape(n, t, w * 32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _hamming_topk_matmul(qsig_pm: jax.Array, sigs_pm: jax.Array, k: int):
+    """MXU Hamming: for +-1 vectors of length B, ham = (B - q.s) / 2.
+    One [Q, B] x [B, N] matmul per table (batched einsum), min over tables,
+    single top-k. Integer dot products (|ip| <= B) accumulate exactly in
+    f32, so results are bit-identical to the popcount form."""
+    b = qsig_pm.shape[-1]
+    ip = jnp.einsum("qtb,ntb->qnt", qsig_pm, sigs_pm,
+                    preferred_element_type=jnp.float32)          # [Q, N, T]
+    dist = (b - jnp.max(ip, axis=-1)) * 0.5                     # min-ham
+    neg, idx = jax.lax.top_k(-dist, k)
+    return (-neg).astype(jnp.int32), idx
 
 
 @partial(jax.jit, static_argnames=("k",))

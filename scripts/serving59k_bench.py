@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 8, 64])
     ap.add_argument("--methods", nargs="+", default=["exact", "lsh"])
+    ap.add_argument("--index-methods", nargs="+",
+                    default=["exact", "lsh", "ivf"],
+                    help="index-level bench methods (exact must be first "
+                         "for recall)")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--skip-index-bench", action="store_true")
     ap.add_argument("--platform", default="default")
@@ -108,7 +112,8 @@ def main():
 
     if not args.skip_index_bench:
         q = emb[rng.choice(args.items, args.queries, replace=False)]
-        results = benchmark_search_methods(emb, q, k=args.k)
+        results = benchmark_search_methods(emb, q, k=args.k,
+                                           methods=args.index_methods)
         print_benchmark(results, k=args.k)
         summary = {
             m: {

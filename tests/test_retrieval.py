@@ -119,3 +119,27 @@ def test_benchmark_harness(corpus):
         assert data["index_size"] == 1000
     assert 0.0 <= results["lsh"]["recall"] <= 1.0
     assert 0.0 <= results["ivf"]["recall"] <= 1.0
+
+
+def test_lsh_matmul_impl_matches_popcount():
+    """MXU Hamming (ham = (B - q.s)/2 on +-1 signatures) must be exactly the
+    packed-bit popcount distances — same signatures, exact f32 integer dots."""
+    import numpy as np
+
+    from movie_recommendation_engine_tpu.retrieval.lsh import LSHIndex
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((500, 24)).astype(np.float32)
+    q = rng.standard_normal((17, 24)).astype(np.float32)
+    a = LSHIndex(24, num_bits=64, num_tables=4, hamming_impl="popcount")
+    b = LSHIndex(24, num_bits=64, num_tables=4, hamming_impl="matmul")
+    a.build(emb)
+    b.build(emb)
+    da, ia = (np.asarray(x) for x in a.search(q, k=12))
+    db, ib = (np.asarray(x) for x in b.search(q, k=12))
+    np.testing.assert_array_equal(da, db)
+    # Tie order within equal distances may differ; compare per-distance sets.
+    for r in range(q.shape[0]):
+        for dist in np.unique(da[r]):
+            assert (set(ia[r][da[r] == dist].tolist())
+                    == set(ib[r][db[r] == dist].tolist()))
