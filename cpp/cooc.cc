@@ -5,11 +5,15 @@
 // the dominant host cost of that path at ML-25M scale (SURVEY.md §3 hot
 // loop #5). Input: ratings grouped by user (user_idx sorted ascending,
 // movie_idx aligned). Every unordered movie pair within a user's group
-// increments a hash-map counter; pairs with count >= threshold are emitted.
+// becomes a packed 64-bit key; keys are sorted and run-length encoded, and
+// runs with count >= threshold are emitted as edges (sort+RLE beats
+// hash-map counting at this scale — see the note at cooc_count).
 //
-// C ABI via ctypes (two-call pattern: count pass then fill pass would need
-// the map twice, so instead one call fills caller-grown buffers through an
-// opaque handle).
+// C ABI via ctypes through an opaque handle: cooc_count builds the result,
+// cooc_num_edges sizes the caller's numpy buffers, cooc_fill copies out,
+// cooc_free releases. cooc_count returns nullptr on allocation failure —
+// the Python wrapper maps that to an exception and the caller falls back
+// to the numpy path.
 
 #include <algorithm>
 #include <cstdint>
@@ -37,7 +41,7 @@ extern "C" {
 // Returns an opaque handle; query sizes and copy out, then free.
 void* cooc_count(const int64_t* user_idx, const int64_t* movie_idx,
                  long long n, long long num_movies, int threshold,
-                 int max_items_per_user) {
+                 int max_items_per_user) try {
   // Sort-based counting: materialize every pair key, sort, run-length
   // encode. Beats hash-map counting by a wide margin at this scale (sorting
   // 64-bit keys is cache-friendly; hashing 50M keys is not).
@@ -89,13 +93,16 @@ void* cooc_count(const int64_t* user_idx, const int64_t* movie_idx,
   std::sort(keys.begin(), keys.end());
 
   auto* out = new CoocResult();
+  // threshold <= 0 means "no cutoff" (every run has count >= 1); a raw
+  // size_t cast of a negative value would silently drop every edge.
+  const size_t thr = threshold < 1 ? 1 : static_cast<size_t>(threshold);
   const size_t m = keys.size();
   size_t run = 0;
   while (run < m) {
     size_t end = run + 1;
     while (end < m && keys[end] == keys[run]) ++end;
     const size_t cnt = end - run;
-    if (cnt >= static_cast<size_t>(threshold)) {
+    if (cnt >= thr) {
       out->src.push_back(static_cast<int32_t>(keys[run] / num_movies));
       out->dst.push_back(static_cast<int32_t>(keys[run] % num_movies));
       out->weight.push_back(static_cast<float>(cnt));
@@ -103,6 +110,12 @@ void* cooc_count(const int64_t* user_idx, const int64_t* movie_idx,
     run = end;
   }
   return out;
+} catch (...) {
+  // C++ exceptions (e.g. bad_alloc from the tens-of-GB reservation an
+  // uncapped ML-25M pair expansion can demand) must not unwind through the
+  // ctypes/libffi frames — that calls std::terminate and kills the Python
+  // process. A null handle triggers the caller's numpy fallback instead.
+  return nullptr;
 }
 
 long long cooc_num_edges(void* handle) {

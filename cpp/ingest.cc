@@ -74,12 +74,17 @@ long long parse_range(const char* p, const char* end, int32_t* user_ids,
     int64_t user = parse_int(&p, end);
     if (p >= end || *p != ',') { p = next_line(p, end); continue; }
     ++p;
+    // Each remaining field must be non-empty: an empty field would parse
+    // as 0 and silently accept a malformed row the pandas fallback rejects.
+    if (p >= end || *p < '0' || *p > '9') { p = next_line(p, end); continue; }
     int64_t movie = parse_int(&p, end);
     if (p >= end || *p != ',') { p = next_line(p, end); continue; }
     ++p;
+    if (p >= end || *p < '0' || *p > '9') { p = next_line(p, end); continue; }
     float rating = parse_rating(&p, end);
     if (p >= end || *p != ',') { p = next_line(p, end); continue; }
     ++p;
+    if (p >= end || *p < '0' || *p > '9') { p = next_line(p, end); continue; }
     int64_t ts = parse_int(&p, end);
     if (user_ids) {
       user_ids[n] = static_cast<int32_t>(user);
@@ -97,12 +102,19 @@ long long parse_range(const char* p, const char* end, int32_t* user_ids,
 
 extern "C" {
 
-// Counts data rows (excluding the header). Returns -1 on open failure.
+// Counts data rows (excluding the header). Returns -1 on failure.
+// Deliberately a separate full pass: callers size their numpy buffers from
+// this upper bound. A stat-based bound (file_size / min_row_bytes) would
+// avoid the extra sequential read but over-allocates ~4x at ML-25M scale.
 long long ingest_count_rows(const char* path) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   const size_t kBuf = 1 << 22;
   char* buf = static_cast<char*>(malloc(kBuf));
+  if (!buf) {
+    fclose(f);
+    return -1;
+  }
   long long newlines = 0;
   size_t got;
   while ((got = fread(buf, 1, kBuf, f)) > 0) {
@@ -132,6 +144,10 @@ long long ingest_parse_ratings_mt(const char* path, int32_t* user_ids,
   fseek(f, 0, SEEK_END);
   long long size = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (size < 0) {  // non-seekable file (FIFO/pipe): ftell returns -1
+    fclose(f);
+    return -1;
+  }
   char* data = static_cast<char*>(malloc(size + 1));
   if (!data) {
     fclose(f);
@@ -173,13 +189,15 @@ long long ingest_parse_ratings_mt(const char* path, int32_t* user_ids,
     }
     for (auto& w : ws) w.join();
   }
+  // Clamp per-range counts so the cumulative total never exceeds capacity:
+  // the MT path then truncates to the first `capacity` rows, matching the
+  // serial path's semantics (previously it returned -1 here, which was
+  // indistinguishable from an open failure).
   std::vector<long long> offsets(num_threads + 1, 0);
   for (int t = 0; t < num_threads; ++t) {
+    long long room = capacity - offsets[t];
+    if (counts[t] > room) counts[t] = room < 0 ? 0 : room;
     offsets[t + 1] = offsets[t] + counts[t];
-  }
-  if (offsets[num_threads] > capacity) {  // caller's buffer is too small
-    free(data);
-    return -1;
   }
 
   // Pass 2: parse into disjoint output slices.

@@ -33,6 +33,13 @@ def _parse_overrides(pairs: list[str]) -> dict:
         if "=" not in pair:
             raise SystemExit(f"--set expects key=value, got: {pair}")
         k, v = pair.split("=", 1)
+        # ast.literal_eval only accepts Python-cased True/False/None; accept
+        # the lowercase spellings too — otherwise `--set x=false` would fall
+        # through to the truthy string "false" and silently invert the flag.
+        low = v.strip().lower()
+        if low in ("true", "false", "none"):
+            out[k] = {"true": True, "false": False, "none": None}[low]
+            continue
         try:
             out[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):

@@ -201,7 +201,11 @@ class SearchConfig:
     lsh_bits: int = 256
     lsh_tables: int = 16
     ivf_partitions: int = 100
-    ivf_factor: int = 10
+    # Weak-AND candidate cap: >0 bounds each probed list to k * factor
+    # centroid-nearest rows (latency/recall knob); 0 scans full probed lists
+    # — the reference's *effective* behavior (its IVF_FACTOR config.py:53 is
+    # stored by WeakANDIndex but never used, nearest_neighbors.py:86).
+    ivf_factor: int = 0
     ivf_nprobe: int = 20               # nearest_neighbors.py:134 min(partitions, 20)
 
 

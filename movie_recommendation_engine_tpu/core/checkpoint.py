@@ -65,10 +65,12 @@ def load_pytree(path: str, like: Any) -> Any:
     keys = sorted(template_flat.keys())
     stored = sorted(data.files)
     if keys != stored:
+        missing = sorted(set(keys) - set(stored))
+        extra = sorted(set(stored) - set(keys))
         raise ValueError(
             f"checkpoint structure mismatch: template has {len(keys)} leaves, "
-            f"file has {len(stored)}; first diff: "
-            f"{next((a, b) for a, b in zip(keys, stored) if a != b) if keys and stored else 'empty'}"
+            f"file has {len(stored)}; only in template: {missing[:5]}; "
+            f"only in file: {extra[:5]}"
         )
     leaves, treedef = jax.tree_util.tree_flatten(like)
     path_leaves = jax.tree_util.tree_flatten_with_path(like)[0]

@@ -161,8 +161,10 @@ def _join_tags(
     buckets: list[list[str]] = [[] for _ in range(m)]
     for mid, tag in zip(tag_movie_ids, tag_values):
         i = lut.get(int(mid))
+        # Filter only true missing values (float NaN stringifies to "nan");
+        # a substring test would drop real tags like "nanotechnology".
         tag_s = str(tag)
-        if i is not None and "nan" not in tag_s:
+        if i is not None and tag_s != "nan":
             buckets[i].append(tag_s)
     return [" ".join(b) for b in buckets]
 

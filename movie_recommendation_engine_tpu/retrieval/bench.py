@@ -41,7 +41,7 @@ def make_index(method: str, dim: int, cfg=None, seed: int = 0):
         return LSHIndex(dim, num_bits=bits, num_tables=tables, seed=seed)
     if method == "ivf":
         parts = cfg.search.ivf_partitions if cfg else 100
-        factor = cfg.search.ivf_factor if cfg else 10
+        factor = cfg.search.ivf_factor if cfg else 0
         nprobe = cfg.search.ivf_nprobe if cfg else 20
         return WeakANDIndex(dim, num_partitions=parts, candidates_factor=factor,
                             nprobe=nprobe, seed=seed)

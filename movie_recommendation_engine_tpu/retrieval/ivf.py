@@ -61,7 +61,7 @@ class WeakANDIndex:
     (utils/nearest_neighbors.py:70-139)."""
 
     def __init__(self, dim: int, num_partitions: int = 100,
-                 candidates_factor: int = 10, nprobe: int = 20, seed: int = 0):
+                 candidates_factor: int = 0, nprobe: int = 20, seed: int = 0):
         self.dim = dim
         self.num_partitions = num_partitions
         self.candidates_factor = candidates_factor
@@ -83,7 +83,13 @@ class WeakANDIndex:
         p = min(self.num_partitions, n)
         centroids, assign = kmeans(x, jax.random.PRNGKey(self.seed), p)
         assign_np = np.asarray(assign)
-        order = np.argsort(assign_np, kind="stable")
+        # Order each inverted list by distance to its centroid so the
+        # fixed candidate budget (k * candidates_factor, see search) keeps
+        # the most central rows when it truncates a long list.
+        x_np = np.asarray(x)
+        c_np = np.asarray(centroids)
+        d_own = np.sum((x_np - c_np[assign_np]) ** 2, axis=1)
+        order = np.lexsort((d_own, assign_np))
         counts = np.bincount(assign_np, minlength=p)
         offsets = np.zeros(p + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
@@ -95,9 +101,14 @@ class WeakANDIndex:
 
     def search(self, queries, k: int = 10):
         q = jnp.asarray(queries, dtype=jnp.float32)
+        # candidates_factor bounds the per-probed-list scan budget to
+        # k * factor rows (the Weak-AND candidate cap): latency/recall knob.
+        budget = self._max_list
+        if self.candidates_factor:
+            budget = min(budget, max(k * self.candidates_factor, k))
         d, local = _ivf_search(
             q, self._emb, self._centroids, self._offsets,
-            nprobe=self.nprobe, max_list=self._max_list, k=k,
+            nprobe=self.nprobe, max_list=budget, k=k,
         )
         ids = jnp.take(self._perm, jnp.maximum(local, 0), mode="clip")
         return d, jnp.where(local < 0, -1, ids)

@@ -23,19 +23,26 @@ def sharded_similarity_topk(
     queries: jax.Array,      # [Q, D] replicated
     k: int,
     axis: str = "model",
+    valid_rows: int | None = None,
 ):
     """Exact inner-product top-k over a row-sharded corpus.
 
+    Rows >= ``valid_rows`` (shard padding) are masked to -inf — similarities
+    are signed, so a zero-vector padding row (score 0) would otherwise win
+    whenever every real score is negative.
     Returns (scores [Q, k], global indices [Q, k]), replicated.
     """
     n = embeddings.shape[0]
     size = mesh.shape[axis]
     chunk = n // size
     kk = min(k, chunk)
+    limit = n if valid_rows is None else valid_rows
 
     def local(emb_local, q):
         s = jax.lax.axis_index(axis)
+        gidx_rows = s * chunk + jnp.arange(chunk)
         sims = jnp.dot(q, emb_local.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(gidx_rows[None, :] < limit, sims, -jnp.inf)
         scores, idx = jax.lax.top_k(sims, kk)                  # [Q, kk] local
         gidx = idx + s * chunk
         # Gather every shard's partials: [S, Q, kk] each.
@@ -143,9 +150,9 @@ def shard_embeddings(mesh: Mesh, embeddings, axis: str = "model"):
     emb = np.asarray(embeddings)
     size = mesh.shape[axis]
     padded, orig = pad_to_multiple(emb, size)
-    # Padding rows are zero vectors: they can never win a top-k over
-    # unit-norm corpus rows for nonnegative scores; mask by -inf via a
-    # sentinel trick is unnecessary for cosine-similarity use.
+    # Padding rows are zero vectors; pass the returned original row count as
+    # ``valid_rows`` to the top-k functions so they are masked out (a zero
+    # score CAN win signed similarity top-k when all real scores are negative).
     arr = jax.device_put(
         jnp.asarray(padded), NamedSharding(mesh, P(axis, None))
     )

@@ -49,6 +49,14 @@ def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+# Module-level so the trace caches across refreshes — a fresh
+# `jax.jit(lambda ...)` per refresh would recompile the [N, N] cast every
+# epoch (minutes over the tunnel's remote compiler).
+@partial(jax.jit, static_argnames=("dtype",))
+def _cast_matrix(m, dtype):
+    return m.astype(dtype)
+
+
 class Trainer:
     """End-to-end training driver. Construct once per dataset+config."""
 
@@ -123,6 +131,11 @@ class Trainer:
             # pairs mapped into movie space (both endpoints = the movie).
             m = tr.movie_idx
             self.train_pairs = np.stack([m, m], axis=1)
+        if self.train_pairs.shape[0] == 0:
+            raise ValueError(
+                "no training pairs: the train split is empty (check "
+                "data.min_interactions / val_ratio / test_ratio)"
+            )
 
         # ---- model / optimizer --------------------------------------------
         key = jax.random.PRNGKey(seed)
@@ -265,7 +278,7 @@ class Trainer:
                     # Quantize AFTER the scatter build (scatter-add into f8
                     # would lose additions); transient peak is A in both
                     # dtypes (10.5 GB at ML-25M scale — fits v5e HBM).
-                    a = jax.jit(lambda m: m.astype(pool_dtype))(a)
+                    a = _cast_matrix(a, pool_dtype)
                 if self.mesh is not None:
                     a = jax.device_put(a, self._row_sharding)
                 mats.append(a)
@@ -475,7 +488,10 @@ class Trainer:
         return {
             "loss": float(all_losses.mean()),
             "examples_per_sec": exps,
-            "step_ms_p50": (
+            # Mean over the timed steps (per-step medians aren't observable:
+            # steps run inside one scanned program, so only block boundaries
+            # are host-visible). Named _avg accordingly.
+            "step_ms_avg": (
                 timed_s / n_timed_steps * 1e3 if n_timed_steps else float("nan")
             ),
             "num_hard": num_hard,
@@ -486,6 +502,16 @@ class Trainer:
     @partial(jax.jit, static_argnames=("self",))
     def _embed_all(self, params, x_table, nbrs_l: tuple, w_l: tuple,
                    pool_mats: tuple) -> jax.Array:
+        if self.cfg.train.train_path == "mlp":
+            # The shipped-loop parity mode trains only the MLP-path weights
+            # (input_proj / conv self / output_proj); evaluating through the
+            # pooled forward would score never-trained update weights. The
+            # reference's evaluate embeds via the same MLP path
+            # (run.py:157-165).
+            emb = pinsage.mlp_forward(
+                params, x_table[: self.data.num_movies], self.compute_dtype
+            )
+            return emb
         if len(pool_mats) == self.cfg.model.num_layers:
             emb = pinsage.pooled_forward_dense(
                 params, x_table, list(pool_mats), dtype=self.compute_dtype,

@@ -91,7 +91,7 @@ def main():
 
     print("== summary ==")
     for label, s in results.items():
-        print(f"{label}: {s['step_ms_p50']:.1f} ms/step p50, "
+        print(f"{label}: {s['step_ms_avg']:.1f} ms/step avg, "
               f"{s['examples_per_sec']:.0f} examples/s "
               f"(loss {s['loss']:.4f})", flush=True)
 

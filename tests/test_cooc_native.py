@@ -52,3 +52,22 @@ def test_native_excludes_self_pairs():
     # (5,7) counted twice (two 5s with one 7).
     k = {(int(a), int(b)): float(c) for a, b, c in zip(src, dst, w)}
     assert k == {(5, 7): 2.0}
+
+
+def test_negative_threshold_keeps_all_pairs():
+    """threshold <= 0 means no cutoff — it must not be cast to a huge
+    unsigned value that silently drops every edge."""
+    try:
+        from movie_recommendation_engine_tpu.utils import cooc_native
+        u = np.array([0, 0, 1, 1], dtype=np.int64)
+        m = np.array([3, 5, 3, 5], dtype=np.int64)
+        s_neg, d_neg, w_neg = cooc_native.count_cooccurrence(u, m, 10, -1)
+        s_one, d_one, w_one = cooc_native.count_cooccurrence(u, m, 10, 1)
+    except Exception as e:  # noqa: BLE001
+        import pytest
+        pytest.skip(f"native toolchain unavailable: {e}")
+    np.testing.assert_array_equal(s_neg, s_one)
+    np.testing.assert_array_equal(d_neg, d_one)
+    np.testing.assert_array_equal(w_neg, w_one)
+    assert s_one.tolist() == [3] and d_one.tolist() == [5]
+    assert w_one.tolist() == [2.0]

@@ -78,3 +78,43 @@ def test_multithreaded_parse_matches_serial(tmp_path):
     assert st[0].shape[0] == n  # malformed rows skipped
     for a, b in zip(st, mt):
         np.testing.assert_array_equal(a, b)  # order preserved
+
+
+def test_malformed_rows_skipped(tmp_path):
+    """Rows with empty fields must be skipped (the pandas path yields NaN /
+    errors; accepting them as zeros would silently diverge)."""
+    p = tmp_path / "ratings.csv"
+    p.write_text(
+        "userId,movieId,rating,timestamp\n"
+        "1,2,,123\n"          # empty rating
+        "1,,3.5,123\n"        # empty movie
+        "3,4,2.5,\n"          # empty timestamp
+        "5,6,4.0,777\n"       # valid
+    )
+    try:
+        u, m, r, t = ingest_native.read_ratings_csv(str(p))
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"native toolchain unavailable: {e}")
+    assert u.tolist() == [5]
+    assert m.tolist() == [6]
+    np.testing.assert_allclose(r, [4.0])
+    assert t.tolist() == [777]
+
+
+def test_mt_matches_serial(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 60_000  # > 1 MiB of text, so num_threads=4 really splits the file
+    rows = "\n".join(
+        f"{rng.integers(1, 100)},{rng.integers(1, 500)},"
+        f"{rng.integers(1, 10) * 0.5},{rng.integers(1, 10**9)}"
+        for _ in range(n)
+    )
+    p = tmp_path / "ratings.csv"
+    p.write_text("userId,movieId,rating,timestamp\n" + rows + "\n")
+    try:
+        serial = ingest_native.read_ratings_csv(str(p), num_threads=1)
+        mt = ingest_native.read_ratings_csv(str(p), num_threads=4)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"native toolchain unavailable: {e}")
+    for a, b in zip(serial, mt):
+        np.testing.assert_array_equal(a, b)

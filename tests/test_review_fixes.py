@@ -1,0 +1,118 @@
+"""Regression tests for review findings: CLI boolean parsing, tag NaN
+filtering, MLP-path eval wiring, sharded-retrieval padding masks, the IVF
+candidate budget, and checkpoint mismatch diagnostics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from movie_recommendation_engine_tpu.cli.main import _parse_overrides
+from movie_recommendation_engine_tpu.core import checkpoint as ckpt
+from movie_recommendation_engine_tpu.graph.dataset import _join_tags
+from movie_recommendation_engine_tpu.parallel import mesh as mesh_mod
+from movie_recommendation_engine_tpu.retrieval import ivf, sharded
+
+
+def test_parse_overrides_lowercase_booleans():
+    out = _parse_overrides([
+        "a.b=false", "c.d=true", "e.f=none", "g.h=False", "i.j=TRUE",
+    ])
+    assert out == {"a.b": False, "c.d": True, "e.f": None,
+                   "g.h": False, "i.j": True}
+    # Strings merely containing the words stay strings.
+    assert _parse_overrides(["x.y=true_string"]) == {"x.y": "true_string"}
+
+
+def test_join_tags_keeps_nan_substring_tags():
+    movie_ids = np.array([10, 20])
+    tag_mids = np.array([10, 10, 20, 20])
+    tags = np.array(["nanotechnology", float("nan"), "banana", "nanny"],
+                    dtype=object)
+    out = _join_tags(movie_ids, tag_mids, tags)
+    assert out[0] == "nanotechnology"          # float NaN dropped
+    assert out[1] == "banana nanny"            # substring 'nan' kept
+
+
+def test_mlp_train_path_evaluates_mlp_forward(tmp_path):
+    """train_path='mlp' must embed/evaluate through the same MLP path it
+    trains (reference run.py:157-165), not the pooled forward whose update
+    weights never receive gradients in this mode."""
+    from movie_recommendation_engine_tpu import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.models import pinsage
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = small_test_config()
+    cfg.train.epochs = 1
+    cfg.train.max_pairs_per_epoch = 64
+    cfg.train.batch_size = 32
+    cfg.train.train_path = "mlp"
+    cfg.train.compute_dtype = "float32"   # avoid bf16 fusion-rounding noise
+    cfg.paths.checkpoint_dir = str(tmp_path)
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data)
+    tr.fit()
+    emb = np.asarray(tr.movie_embeddings())
+    ref = np.asarray(pinsage.mlp_forward(
+        tr.params, tr.x_table[: tr.data.num_movies], tr.compute_dtype))
+    np.testing.assert_allclose(emb, ref, atol=1e-5)
+
+
+def test_sharded_similarity_masks_padding_rows():
+    """A query anti-correlated with every real row must not retrieve a
+    zero-vector padding row (score 0 beats all-negative real scores)."""
+    mesh = mesh_mod.make_mesh((1, 8))
+    rng = np.random.default_rng(0)
+    n, d = 13, 8                       # 13 rows pad to 16 over 8 shards
+    base = rng.standard_normal(d).astype(np.float32)
+    emb = base[None, :] + 0.01 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = (-base / np.linalg.norm(base))[None, :].astype(np.float32)
+
+    emb_sharded, orig = sharded.shard_embeddings(mesh, emb)
+    scores, idx = sharded.sharded_similarity_topk(
+        mesh, emb_sharded, jnp.asarray(q), k=5, valid_rows=orig)
+    idx = np.asarray(idx)
+    assert (idx < n).all(), idx        # no padding row may win
+    # And the scores match the dense reference.
+    dense = q @ emb.T
+    np.testing.assert_allclose(
+        np.asarray(scores)[0], np.sort(dense[0])[::-1][:5], atol=1e-5)
+
+
+def test_ivf_candidates_factor_budget():
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((4, 16)).astype(np.float32) * 5
+    x = np.concatenate(
+        [c + rng.standard_normal((100, 16)).astype(np.float32) for c in centers])
+    q = x[:8]
+
+    # factor=0 disables the cap: full probed lists are scanned.
+    full = ivf.WeakANDIndex(16, num_partitions=4, candidates_factor=0, nprobe=2)
+    full.build(x)
+    d_full, i_full = (np.asarray(a) for a in full.search(q, k=5))
+
+    # A small factor caps the per-list budget but still returns valid,
+    # near-centroid candidates (lists are centroid-distance ordered).
+    capped = ivf.WeakANDIndex(16, num_partitions=4, candidates_factor=2, nprobe=2)
+    capped.build(x)
+    d_cap, i_cap = (np.asarray(a) for a in capped.search(q, k=5))
+    assert (i_cap >= 0).all() and (i_cap < x.shape[0]).all()
+    assert np.isfinite(d_cap).all()
+
+    # A generous factor covers the whole list: identical to the uncapped run.
+    big = ivf.WeakANDIndex(16, num_partitions=4, candidates_factor=1000, nprobe=2)
+    big.build(x)
+    d_big, i_big = (np.asarray(a) for a in big.search(q, k=5))
+    np.testing.assert_array_equal(i_big, i_full)
+    np.testing.assert_allclose(d_big, d_full, atol=1e-5)
+
+
+def test_checkpoint_mismatch_prefix_raises_valueerror(tmp_path):
+    """Template keys that are a strict superset of the stored keys must
+    produce the structured ValueError, not StopIteration."""
+    path = str(tmp_path / "ck")
+    ckpt.save_pytree(path, {"a": jnp.zeros(2), "b": jnp.ones(3)}, {"epoch": 0})
+    template = {"a": jnp.zeros(2), "b": jnp.ones(3), "c": jnp.ones(1)}
+    with pytest.raises(ValueError, match="checkpoint structure mismatch"):
+        ckpt.load_pytree(path, template)
