@@ -39,7 +39,6 @@ BATCH = 512
 NUM_RAND_NEG = 500
 NUM_HARD = 6
 STEPS = 100
-WARMUP = 3
 
 
 def _setup_numpy(seed=0):
@@ -80,7 +79,11 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
                           for n, w in zip(nbrs_j, w_j))
         # Optional f8 storage for the pool matrices (halves their HBM reads;
         # see config.ModelConfig.pool_matrix_dtype). A/B via env.
-        if os.environ.get("MRE_BENCH_POOL_DTYPE", "bfloat16") == "float8_e4m3fn":
+        pool_dtype = os.environ.get("MRE_BENCH_POOL_DTYPE", "bfloat16")
+        if pool_dtype not in ("bfloat16", "float8_e4m3fn"):
+            raise SystemExit(f"MRE_BENCH_POOL_DTYPE must be bfloat16 or "
+                             f"float8_e4m3fn, got {pool_dtype!r}")
+        if pool_dtype == "float8_e4m3fn":
             cast = jax.jit(lambda m: m.astype(jnp.float8_e4m3fn))
             pool_mats = tuple(cast(m) for m in pool_mats)
         jax.block_until_ready(pool_mats)
@@ -93,9 +96,9 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
     # Every array is an ARGUMENT — closure capture would bake tables into the
     # program as constants (oversized executables + per-call re-upload over
     # the remote tunnel distorts timing; remote-compile rejects big ones).
-    @partial(jax.jit, static_argnames=("num_steps",), donate_argnames=("params", "opt_state"))
+    @partial(jax.jit, donate_argnames=("params", "opt_state"))
     def run_steps(params, opt_state, xj, nbrs_j, w_j, pool_mats,
-                  q_blk, p_blk, rn_blk, hn_blk, num_steps):
+                  q_blk, p_blk, rn_blk, hn_blk):
         def one_step(carry, inputs):
             params, opt_state = carry
             q, p, rn, hn = inputs
@@ -140,14 +143,20 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
 
     # Warmup output params/opt feed the timed call — inputs are donated.
     params, opt_state, loss = run_steps(
-        params, opt_state, xj, nbrs_j, w_j, pool_mats,
-        *blocks(STEPS), num_steps=STEPS)
+        params, opt_state, xj, nbrs_j, w_j, pool_mats, *blocks(STEPS))
     _ = np.asarray(loss)   # absorb compile; force true materialization
+
+    # Generate and UPLOAD the timed call's inputs before t0: host-side RNG
+    # plus the ~2 MB host->device transfer over the tunnel would otherwise
+    # pollute the device throughput measurement. np.asarray round-trips each
+    # buffer through the host — a compile-free hard sync on this backend.
+    blk = blocks(STEPS)
+    for b in blk:
+        np.asarray(b)
 
     t0 = time.perf_counter()
     params, opt_state, loss = run_steps(
-        params, opt_state, xj, nbrs_j, w_j, pool_mats,
-        *blocks(STEPS), num_steps=STEPS)
+        params, opt_state, xj, nbrs_j, w_j, pool_mats, *blk)
     loss_host = np.asarray(loss)   # host materialization = hard sync
     dt = time.perf_counter() - t0
     return BATCH * STEPS / dt, float(loss_host[-1])

@@ -171,6 +171,12 @@ class BatchingRecommender:
         with self._lock:
             return self._stats.snapshot()
 
+    def reset_stats(self) -> None:
+        """Zero the latency/batching counters (e.g. between load-test runs
+        so each concurrency level reports its own batching behavior)."""
+        with self._lock:
+            self._stats = ServerStats()
+
     def close(self) -> None:
         with self._not_empty:
             self._closed = True

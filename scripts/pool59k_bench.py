@@ -32,6 +32,13 @@ def main():
                          "HBM traffic of the [N, N] pool-matrix reads that "
                          "dominate the hybrid step")
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--epoch-offset", type=int, default=0,
+                    help="first epoch number passed to train_epoch. The "
+                         "curriculum ramps hard negatives as min(epoch, "
+                         "max_hard): offset 0 times the ramp-up (num_hard "
+                         "0-1, the historical A/B setting); offset >= 6 "
+                         "times the steady-state step (num_hard 6), which "
+                         "is what production epochs cost")
     ap.add_argument("--max-pairs", type=int, default=50_000)
     ap.add_argument("--movies", type=int, default=59_000)
     ap.add_argument("--users", type=int, default=162_000)
@@ -78,7 +85,8 @@ def main():
             tr.nbr_tables = None  # force refresh (rebuilds pool_mats per impl)
             tr.pool_mats = ()
             stats_all = []
-            for epoch in range(args.epochs):
+            for epoch in range(args.epoch_offset,
+                               args.epoch_offset + args.epochs):
                 t0 = time.time()
                 stats = tr.train_epoch(epoch)
                 stats["wall_s"] = round(time.time() - t0, 2)
@@ -93,7 +101,7 @@ def main():
     for label, s in results.items():
         print(f"{label}: {s['step_ms_avg']:.1f} ms/step avg, "
               f"{s['examples_per_sec']:.0f} examples/s "
-              f"(loss {s['loss']:.4f})", flush=True)
+              f"(loss {s['loss']:.4f}, num_hard {s['num_hard']})", flush=True)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,15 @@ def main():
     t0 = time.time()
     fit = tr.fit()
     train_s = time.time() - t0
+    # Report the validation-selected best checkpoint when one exists (fit
+    # saves it by val HR@k); falling back to last-epoch params otherwise.
+    best = os.path.join(cfg.paths.checkpoint_dir, "best_model")
+    # best_metric > -inf means THIS fit wrote best_model (guards against a
+    # stale checkpoint from an earlier run in the shared /tmp dir).
+    if fit["best_metric"] > -float("inf") and os.path.exists(best + ".npz"):
+        tr.load_checkpoint(best)
+        print("evaluating best_model checkpoint "
+              f"(epoch {tr.epoch}, val {tr.best_metric:.4f})", flush=True)
     final = tr.evaluate()
 
     throughput = [h["examples_per_sec"] for h in fit["history"]]

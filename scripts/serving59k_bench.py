@@ -39,9 +39,11 @@ def clustered_embeddings(rng, items, dim):
     return emb.astype(np.float32)
 
 
-def load_test(rec, num_clients: int, seconds: float, k: int, rng):
+def load_test(rec, num_clients: int, seconds: float, k: int):
     """Closed-loop load: each client issues its next query as soon as the
-    previous one resolves."""
+    previous one resolves. Server stats are reset first so each concurrency
+    level reports its own batching behavior (not a cumulative mix)."""
+    rec.reset_stats()
     latencies: list[list[float]] = [[] for _ in range(num_clients)]
     stop = time.perf_counter() + seconds
     n = rec.ntotal
@@ -63,6 +65,9 @@ def load_test(rec, num_clients: int, seconds: float, k: int, rng):
         t.join()
     wall = time.perf_counter() - t_start
     lat = np.asarray([x for l in latencies for x in l]) * 1e3
+    if lat.size == 0:  # window too short for any request to complete
+        return {"clients": num_clients, "requests": 0, "qps": 0.0,
+                "server": rec.stats()}
     return {
         "clients": num_clients,
         "requests": int(lat.size),
@@ -133,7 +138,7 @@ def main():
                                   max_k=max(args.k, 10))
         print(f"build+warmup {time.perf_counter() - t0:.1f}s", flush=True)
         for c in args.clients:
-            out = load_test(rec, c, args.seconds, args.k, rng)
+            out = load_test(rec, c, args.seconds, args.k)
             print("SERVE " + json.dumps({"method": method, **out}), flush=True)
         rec.close()
 
