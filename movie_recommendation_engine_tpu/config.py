@@ -69,7 +69,8 @@ class ModelConfig:
     hidden_dim: int = 256
     embed_dim: int = 128
     num_layers: int = 2
-    aggregator_type: str = "importance"  # mean|weighted|attention|max|importance
+    aggregator_type: str = "importance"  # aggregators.KINDS: mean|weighted|
+    # attention|max|importance|importance_transform
     # "he_zero_bias" (default) or "torch_default" (reference nn.Linear parity;
     # collapses at init — see models/pinsage._linear_init).
     init_style: str = "he_zero_bias"

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
-KINDS = ("mean", "weighted", "attention", "max", "importance")
+KINDS = ("mean", "weighted", "attention", "max", "importance",
+         "importance_transform")
 
 
 def init_aggregator_params(key, kind: str, in_dim: int, out_dim: int):

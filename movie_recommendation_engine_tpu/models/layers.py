@@ -90,7 +90,9 @@ def max_pooling_layer(x, nbrs, valid_limit=None, dtype=jnp.float32):
     n = x.shape[0]
     limit = n if valid_limit is None else min(valid_limit, n)
     valid = nbrs < limit
-    feats = jnp.take(x, jnp.minimum(nbrs, n - 1), axis=0, mode="clip")
+    # Cast before the [B, K, D] gather — the bandwidth-dominating op.
+    feats = jnp.take(x.astype(dtype), jnp.minimum(nbrs, n - 1), axis=0,
+                     mode="clip")
     feats = jnp.where(valid[:, :, None], feats, -jnp.inf)
     out = jnp.max(feats, axis=1)
     return jnp.where(jnp.isfinite(out), out, 0.0)

@@ -25,6 +25,13 @@ def max_margin_loss(
     negative: jax.Array,   # [B, D] or [B, N, D] or [N, D] (shared negatives)
     margin: float = 0.1,
 ) -> jax.Array:
+    """Hinge max(0, margin + max_neg_sim - pos_sim) (model/loss.py:6-64).
+
+    2-D ``negative`` is disambiguated by shape: leading dim == B means one
+    PAIRED negative per row; any other leading dim is a SHARED pool (max
+    over the pool). When the pool size equals the batch size the paired
+    interpretation wins — pass the pool via ``shared_pool_max_margin_loss``
+    (or as [1, N, D]) to force pool semantics."""
     pos_sim = jnp.sum(query * positive, axis=1)
     if negative.ndim == 3:
         neg_sim = jnp.einsum("bd,bnd->bn", query, negative)

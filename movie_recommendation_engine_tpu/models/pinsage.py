@@ -274,16 +274,17 @@ def pooled_forward_dense(
 ) -> jax.Array:
     """Full-graph pooled forward with matmul pooling (importance aggregator
     only — the dense form of ``pooled_forward``)."""
+    convs = params["convs"]
+    assert len(pool_mats) == len(convs), (
+        "pooled_forward_dense needs one pool matrix per layer; for a dense "
+        "prefix + gather tail use pooled_forward(pool_mats=...) (hybrid)")
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
-    for i, conv in enumerate(params["convs"]):
-        a = pool_mats[min(i, len(pool_mats) - 1)]
-        h_neigh = jnp.dot(a.astype(dtype), h.astype(dtype),
+    for i, conv in enumerate(convs):
+        h_neigh = jnp.dot(pool_mats[i].astype(dtype), h.astype(dtype),
                           preferred_element_type=jnp.float32).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
-        if dropout_rate > 0.0 and dropout_rng is not None:
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
-            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+        if i < len(convs) - 1:
+            h, dropout_rng = _dropout(h, dropout_rate, dropout_rng)
     return l2_normalize(linear(params["output_proj"], h, dtype).astype(jnp.float32))
 
 
@@ -301,25 +302,35 @@ def pooled_forward_batch_dense(
     of A (a [B, N] slab — contiguous wide rows, which TPUs gather well,
     unlike [B, K, D] scattered rows)."""
     convs = params["convs"]
+    assert len(pool_mats) == len(convs), (
+        "pooled_forward_batch_dense needs one pool matrix per layer; for a "
+        "dense prefix + gather tail use pooled_forward_batch(pool_mats=...)")
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
     for i, conv in enumerate(convs[:-1]):
-        a = pool_mats[min(i, len(pool_mats) - 1)]
-        h_neigh = jnp.dot(a.astype(dtype), h.astype(dtype),
+        h_neigh = jnp.dot(pool_mats[i].astype(dtype), h.astype(dtype),
                           preferred_element_type=jnp.float32).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
-        if dropout_rate > 0.0 and dropout_rng is not None:
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
-            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+        h, dropout_rng = _dropout(h, dropout_rate, dropout_rng)
     last = convs[-1]
     li = len(convs) - 1
-    a = pool_mats[min(li, len(pool_mats) - 1)]
-    a_batch = jnp.take(a, batch_nodes, axis=0, mode="clip")
+    a_batch = jnp.take(pool_mats[li], batch_nodes, axis=0, mode="clip")
     h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
     h_neigh = jnp.dot(a_batch.astype(dtype), h.astype(dtype),
                       preferred_element_type=jnp.float32).astype(dtype)
     h_out = _conv_block(last, h_batch, h_neigh, dtype)
     return l2_normalize(linear(params["output_proj"], h_out, dtype).astype(jnp.float32))
+
+
+def _dropout(h: jax.Array, rate: float, rng: jax.Array | None):
+    """Inverted dropout; returns (h, advanced rng). No-op when rate/rng unset.
+    Applied after hidden convs only (never after the final conv), identically
+    in the full-graph and batch forwards — they must define the same
+    stochastic network for a given params+rng."""
+    if rate <= 0.0 or rng is None:
+        return h, rng
+    rng, sub = jax.random.split(rng)
+    keep = jax.random.bernoulli(sub, 1.0 - rate, h.shape)
+    return jnp.where(keep, h / (1.0 - rate), 0.0), rng
 
 
 def _conv_block(
@@ -367,28 +378,22 @@ def pooled_forward(
     full set of [N, N] matrices doesn't fit HBM but one does (the ML-25M
     regime — the layer-0 full-graph gather dominates step time there).
     """
+    convs = params["convs"]
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
-    for i, conv in enumerate(params["convs"]):
+    for i, conv in enumerate(convs):
         if i < len(pool_mats):
             h_neigh = jnp.dot(pool_mats[i].astype(dtype), h.astype(dtype),
                               preferred_element_type=jnp.float32).astype(dtype)
-            h = _conv_block(conv, h, h_neigh, dtype)
-            if dropout_rate > 0.0 and dropout_rng is not None:
-                dropout_rng, sub = jax.random.split(dropout_rng)
-                keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
-                h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
-            continue
-        nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
-        w = layer_weights[min(i, len(layer_weights) - 1)]
-        h_neigh = aggregators.aggregate(
-            aggregator, conv.get("agg"), h, nbrs, w,
-            self_feats=h, valid_limit=valid_limit, dtype=dtype,
-        ).astype(dtype)
+        else:
+            nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
+            w = layer_weights[min(i, len(layer_weights) - 1)]
+            h_neigh = aggregators.aggregate(
+                aggregator, conv.get("agg"), h, nbrs, w,
+                self_feats=h, valid_limit=valid_limit, dtype=dtype,
+            ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
-        if dropout_rate > 0.0 and dropout_rng is not None:
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
-            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+        if i < len(convs) - 1:
+            h, dropout_rng = _dropout(h, dropout_rate, dropout_rng)
     return l2_normalize(linear(params["output_proj"], h, dtype).astype(jnp.float32))
 
 
@@ -429,10 +434,7 @@ def pooled_forward_batch(
                 self_feats=h, valid_limit=valid_limit, dtype=dtype,
             ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
-        if dropout_rate > 0.0 and dropout_rng is not None:
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, h.shape)
-            h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+        h, dropout_rng = _dropout(h, dropout_rate, dropout_rng)
     last = convs[-1]
     li = len(convs) - 1
     h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
@@ -475,7 +477,13 @@ def edge_forward(
         msg = jnp.take(transformed, edge_src, axis=0)
         if edge_weight is not None:
             msg = msg * edge_weight[:, None]
-        h_neigh = jax.ops.segment_sum(msg, edge_dst, num_segments=n)
+        # Accumulate in f32: this is an UNNORMALIZED sum (aggr='add'), so a
+        # high-degree node scatter-adds thousands of terms — bf16's 8
+        # mantissa bits lose percent-level precision there (the pooling
+        # paths' einsums already use preferred_element_type=f32).
+        h_neigh = jax.ops.segment_sum(
+            msg.astype(jnp.float32), edge_dst, num_segments=n
+        ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
     return l2_normalize(linear(params["output_proj"], h, dtype).astype(jnp.float32))
 
@@ -493,5 +501,8 @@ def forward(
     if edge_index is None and (sampled_neighbors is None or importance_weights is None):
         return mlp_forward(params, x, kw.get("dtype", jnp.bfloat16))
     if edge_index is None:
+        kw.pop("edge_weight", None)  # pooled path has no edge weights
         return pooled_forward(params, x, sampled_neighbors, importance_weights, **kw)
-    return edge_forward(params, x, edge_index[0], edge_index[1], kw.get("edge_weight"))
+    return edge_forward(params, x, edge_index[0], edge_index[1],
+                        kw.get("edge_weight"),
+                        dtype=kw.get("dtype", jnp.bfloat16))

@@ -84,13 +84,18 @@ def precompute_top_neighbors(
     n = csr.num_nodes
     for i in range(0, nodes.shape[0], batch):
         chunk = nodes[i : i + batch]
+        # Pad the ragged tail chunk to the full batch size: ppr_scores is
+        # shape-specialized under jit, and a second program shape costs a
+        # full recompile (minutes over the tunnel backend — CLAUDE.md).
+        pad = batch - chunk.shape[0]
+        padded = np.pad(chunk, (0, pad), mode="edge") if pad else chunk
         scores = ppr_scores(
-            graph, jnp.asarray(chunk), n, alpha=alpha,
+            graph, jnp.asarray(padded), n, alpha=alpha,
             num_iterations=num_iterations,
         )
         top_scores, top_idx = jax.lax.top_k(scores, min(num_neighbors, n))
-        top_scores = np.asarray(top_scores)
-        top_idx = np.asarray(top_idx)
+        top_scores = np.asarray(top_scores)[: chunk.shape[0]]
+        top_idx = np.asarray(top_idx)[: chunk.shape[0]]
         for row, src in enumerate(chunk):
             s = top_scores[row]
             keep = s > 0
