@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <memory>
 #include <unordered_map>
 #include <vector>
 
@@ -92,7 +93,9 @@ void* cooc_count(const int64_t* user_idx, const int64_t* movie_idx,
 
   std::sort(keys.begin(), keys.end());
 
-  auto* out = new CoocResult();
+  // unique_ptr so a push_back bad_alloc below doesn't leak the result
+  // through the function-level catch.
+  auto out = std::make_unique<CoocResult>();
   // threshold <= 0 means "no cutoff" (every run has count >= 1); a raw
   // size_t cast of a negative value would silently drop every edge.
   const size_t thr = threshold < 1 ? 1 : static_cast<size_t>(threshold);
@@ -109,7 +112,7 @@ void* cooc_count(const int64_t* user_idx, const int64_t* movie_idx,
     }
     run = end;
   }
-  return out;
+  return out.release();
 } catch (...) {
   // C++ exceptions (e.g. bad_alloc from the tens-of-GB reservation an
   // uncapped ML-25M pair expansion can demand) must not unwind through the

@@ -80,7 +80,12 @@ long long parse_range(const char* p, const char* end, int32_t* user_ids,
     int64_t movie = parse_int(&p, end);
     if (p >= end || *p != ',') { p = next_line(p, end); continue; }
     ++p;
-    if (p >= end || *p < '0' || *p > '9') { p = next_line(p, end); continue; }
+    // '.' is a valid first rating character (".5" parses as 0.5 — the
+    // pandas fallback accepts it, so the native path must too).
+    if (p >= end || ((*p < '0' || *p > '9') && *p != '.')) {
+      p = next_line(p, end);
+      continue;
+    }
     float rating = parse_rating(&p, end);
     if (p >= end || *p != ',') { p = next_line(p, end); continue; }
     ++p;
@@ -155,6 +160,10 @@ long long ingest_parse_ratings_mt(const char* path, int32_t* user_ids,
   }
   long long got = (long long)fread(data, 1, size, f);
   fclose(f);
+  if (got != size) {  // short read (truncated/racing file): let the caller
+    free(data);       // fall back rather than silently parse a partial file
+    return -1;
+  }
   const char* begin = next_line(data, data + got);  // skip header
   const char* end = data + got;
 

@@ -41,6 +41,12 @@ class MovieLensData:
     # Optional tag text joined per movie index ('' when absent).
     movie_tags: list[str] = field(default_factory=list)
 
+    # Optional external ids from links.csv, aligned to movie index; -1 where
+    # missing (the reference loads links_df when present,
+    # data/dataset.py:67-70 — unused downstream there too, kept for parity).
+    imdb_ids: np.ndarray | None = None   # [num_movies] int64 or None
+    tmdb_ids: np.ndarray | None = None   # [num_movies] int64 or None
+
     @property
     def num_movies(self) -> int:
         return int(self.movie_ids.shape[0])
@@ -218,13 +224,26 @@ def load_movielens_csv(cfg: Config) -> MovieLensData:
         tags = pd.read_csv(tags_path)
         return tags["movieId"].to_numpy(), tags["tag"].astype(str).to_numpy()
 
-    with ThreadPoolExecutor(max_workers=min(workers, 3)) as pool:
+    def load_links():
+        links_path = os.path.join(d, "links.csv")
+        if not os.path.exists(links_path):
+            return None
+        links = pd.read_csv(links_path)  # movieId,imdbId,tmdbId (tmdbId may be NaN)
+        return (
+            links["movieId"].to_numpy(),
+            links["imdbId"].fillna(-1).to_numpy(np.int64),
+            links["tmdbId"].fillna(-1).to_numpy(np.int64),
+        )
+
+    with ThreadPoolExecutor(max_workers=min(workers, 4)) as pool:
         f_movies = pool.submit(pd.read_csv, os.path.join(d, "movies.csv"))
         f_ratings = pool.submit(load_ratings)
         f_tags = pool.submit(load_tags)
+        f_links = pool.submit(load_links)
         movies = f_movies.result()
         ratings_cols = f_ratings.result()
         tag_cols = f_tags.result()
+        link_cols = f_links.result()
 
     raw: dict = {
         "movie_ids": movies["movieId"].to_numpy(),
@@ -237,6 +256,8 @@ def load_movielens_csv(cfg: Config) -> MovieLensData:
     }
     if tag_cols is not None:
         raw["tag_movie_ids"], raw["tag_values"] = tag_cols
+    if link_cols is not None:
+        raw["link_movie_ids"], raw["link_imdb"], raw["link_tmdb"] = link_cols
     return _from_columns(raw, cfg)
 
 
@@ -251,10 +272,22 @@ def _from_columns(raw: dict, cfg: Config) -> MovieLensData:
         movie_ids, np.asarray(raw["movie_ids"]), list(raw["titles"]), list(raw["genres"])
     )
     movie_tags = _join_tags(movie_ids, raw.get("tag_movie_ids"), raw.get("tag_values"))
+    imdb_ids = tmdb_ids = None
+    if raw.get("link_movie_ids") is not None:
+        lut = {int(mid): i for i, mid in enumerate(raw["link_movie_ids"])}
+        m = movie_ids.shape[0]
+        imdb_ids = np.full(m, -1, dtype=np.int64)
+        tmdb_ids = np.full(m, -1, dtype=np.int64)
+        for out_i, mid in enumerate(movie_ids):
+            i = lut.get(int(mid))
+            if i is not None:
+                imdb_ids[out_i] = raw["link_imdb"][i]
+                tmdb_ids[out_i] = raw["link_tmdb"][i]
     return MovieLensData(
         user_idx=user_idx, movie_idx=movie_idx, ratings=vals, timestamps=ts,
         movie_ids=movie_ids, user_ids=user_ids,
         titles=titles, genres=genres, movie_tags=movie_tags,
+        imdb_ids=imdb_ids, tmdb_ids=tmdb_ids,
     )
 
 

@@ -600,6 +600,7 @@ class Trainer:
         best_path = os.path.join(cfg.paths.checkpoint_dir, "best_model")
         last_path = os.path.join(cfg.paths.checkpoint_dir, "last_model")
         history = []
+        best_written = False  # did THIS fit() call write best_model?
 
         start = self.epoch
         for epoch in range(start, cfg.train.epochs):
@@ -637,8 +638,16 @@ class Trainer:
             if val_metric is not None and val_metric > self.best_metric:
                 self.best_metric = val_metric
                 self.save_checkpoint(best_path, tag="best")
+                best_written = True
             if val_metric is not None and stopper.update(val_metric):
                 self.log.log("early_stop", epoch=epoch)
                 break
 
-        return {"history": history, "best_metric": self.best_metric}
+        return {
+            "history": history,
+            "best_metric": self.best_metric,
+            # Set only when this run wrote best_model — callers that reload
+            # the "best" checkpoint must gate on this, not on best_metric
+            # (a resumed run restores best_metric > -inf without writing).
+            "best_path": best_path if best_written else None,
+        }

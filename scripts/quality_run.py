@@ -92,10 +92,11 @@ def main():
     train_s = time.time() - t0
     # Report the validation-selected best checkpoint when one exists (fit
     # saves it by val HR@k); falling back to last-epoch params otherwise.
-    best = os.path.join(cfg.paths.checkpoint_dir, "best_model")
-    # best_metric > -inf means THIS fit wrote best_model (guards against a
-    # stale checkpoint from an earlier run in the shared /tmp dir).
-    if fit["best_metric"] > -float("inf") and os.path.exists(best + ".npz"):
+    # fit() sets best_path only when THIS run wrote best_model (guards
+    # against a stale checkpoint from an earlier run in the shared /tmp dir,
+    # including future resume_from runs that restore best_metric > -inf).
+    best = fit.get("best_path")
+    if best and os.path.exists(best + ".npz"):
         tr.load_checkpoint(best)
         print("evaluating best_model checkpoint "
               f"(epoch {tr.epoch}, val {tr.best_metric:.4f})", flush=True)

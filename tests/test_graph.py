@@ -148,3 +148,46 @@ def test_dataset_load_synthetic(tiny_data):
     # min_interactions filter honored
     counts = np.bincount(data.user_idx)
     assert counts[counts > 0].min() >= 1
+
+
+def test_csv_load_with_links_and_rating_edge_cases(tmp_path):
+    """links.csv loads onto MovieLensData (reference data/dataset.py:67-70)
+    and a ".5"-style rating parses identically in native + pandas paths."""
+    (tmp_path / "movies.csv").write_text(
+        "movieId,title,genres\n"
+        "10,Alpha (1995),Comedy\n"
+        "20,Beta (1996),Drama\n"
+        "30,Gamma (1997),Action\n"
+    )
+    rows = "\n".join(
+        f"{u},{m},{r},{t}"
+        for u, m, r, t in [
+            (1, 10, "4.0", 100), (1, 20, ".5", 200), (1, 30, "3.5", 300),
+            (2, 10, "5.0", 110), (2, 20, "2.0", 210), (2, 30, "1.0", 310),
+        ]
+    )
+    (tmp_path / "ratings.csv").write_text(
+        "userId,movieId,rating,timestamp\n" + rows + "\n"
+    )
+    (tmp_path / "links.csv").write_text(
+        "movieId,imdbId,tmdbId\n10,111,1010\n20,222,\n30,333,3030\n"
+    )
+    from movie_recommendation_engine_tpu.config import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset as ds
+
+    cfg = small_test_config()
+    cfg.data.source = "movielens"
+    cfg.data.data_dir = str(tmp_path)
+    cfg.data.min_interactions = 1
+    cfg.data.use_data_subset = False
+    data = ds.load(cfg)
+    assert data.num_movies == 3 and data.num_users == 2
+    # ".5" parsed as 0.5 regardless of native/pandas path.
+    mask = (data.user_idx == 0) & (data.movie_idx == data.movie_id_to_idx()[20])
+    np.testing.assert_allclose(data.ratings[mask], [0.5])
+    # links aligned to movie index, NaN tmdbId -> -1.
+    lut = data.movie_id_to_idx()
+    assert data.imdb_ids[lut[10]] == 111
+    assert data.imdb_ids[lut[20]] == 222
+    assert data.tmdb_ids[lut[20]] == -1
+    assert data.tmdb_ids[lut[30]] == 3030
