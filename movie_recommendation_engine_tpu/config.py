@@ -208,6 +208,11 @@ class SearchConfig:
     # stored by WeakANDIndex but never used, nearest_neighbors.py:86).
     ivf_factor: int = 0
     ivf_nprobe: int = 20               # nearest_neighbors.py:134 min(partitions, 20)
+    # Inverted lists are size-capped at ceil(factor * N / partitions) at
+    # build (overflow spills to the next-nearest centroid). Bounds the
+    # per-probe scan budget under skewed k-means — without it the largest
+    # cluster sets the candidate-gather size (multi-GB at 59k). 0 disables.
+    ivf_balance_factor: float = 4.0
 
 
 @dataclass

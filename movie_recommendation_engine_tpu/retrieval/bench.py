@@ -43,8 +43,9 @@ def make_index(method: str, dim: int, cfg=None, seed: int = 0):
         parts = cfg.search.ivf_partitions if cfg else 100
         factor = cfg.search.ivf_factor if cfg else 0
         nprobe = cfg.search.ivf_nprobe if cfg else 20
+        balance = cfg.search.ivf_balance_factor if cfg else 4.0
         return WeakANDIndex(dim, num_partitions=parts, candidates_factor=factor,
-                            nprobe=nprobe, seed=seed)
+                            nprobe=nprobe, seed=seed, balance_factor=balance)
     raise ValueError(f"unknown search method: {method}")
 
 

@@ -4,16 +4,21 @@ Replaces FAISS ``IndexIVFFlat`` with an ``IndexFlatL2`` coarse quantizer
 (reference utils/nearest_neighbors.py:70-139; defaults: 100 partitions,
 nprobe = min(partitions, 20) at :134). TPU design:
 
-- **train**: k-means (k-means++ style seeding + Lloyd iterations) runs as
-  jitted [N, D] x [D, P] matmuls + argmin + segment-sum — the MXU does the
-  assignment step, no host loops.
+- **train**: k-means (Lloyd iterations) runs as jitted [N, D] x [D, P]
+  matmuls + argmin + segment-sum — the MXU does the assignment step.
+- **balance**: inverted lists are size-capped (``balance_factor`` x the mean
+  list size; host-side overflow spill to the next-nearest centroid with
+  room). Skewed k-means otherwise makes the largest cluster the per-probe
+  scan budget — at 59k items / 100 partitions a 5k-row cluster would turn
+  one search into a multi-GB candidate gather.
 - **add**: items are *physically reordered* by cluster so each inverted list
   is a contiguous range of the embedding table (CSR-of-clusters). That turns
   list probing into contiguous dynamic slices — the layout HBM likes.
-- **search**: top-``nprobe`` centroids per query, gather a fixed-budget
-  candidate block per probed list (padded, masked), exact L2 on candidates,
-  top-k. Entirely on device; the fixed candidate budget replaces FAISS's
-  ragged list traversal.
+- **search**: top-``nprobe`` centroids per query, then ONE probed list per
+  scan step: gather its fixed-budget candidate block, exact L2, merge into a
+  running top-k (``lax.scan`` over probes). Peak transient is a single
+  [Q, budget, D] block — independent of nprobe — instead of the old
+  [Q, nprobe * budget, D] monolith.
 """
 
 from __future__ import annotations
@@ -56,18 +61,68 @@ def kmeans(x: jax.Array, key: jax.Array, num_clusters: int, iters: int = 15):
     return centroids, jnp.argmin(dist, axis=1)
 
 
+def balance_assignments(
+    x: np.ndarray,          # [N, D]
+    centroids: np.ndarray,  # [P, D]
+    assign: np.ndarray,     # [N] int
+    cap: int,
+) -> np.ndarray:
+    """Spill rows beyond ``cap`` per cluster to their next-nearest centroid
+    with room. Host-side, one-time at build. Overfull clusters keep their
+    ``cap`` most-central rows (so the centroid stays representative); each
+    spilled row re-homes to the nearest centroid under cap — with nprobe=20
+    of 100 lists probed, a 2nd/3rd-nearest home is still found by the coarse
+    quantizer with high probability (recall covered by tests)."""
+    p = centroids.shape[0]
+    counts = np.bincount(assign, minlength=p)
+    if counts.max(initial=0) <= cap:
+        return assign
+    assign = assign.copy()
+    # Full [N, P] distance table: 59k x 100 f32 = 24 MB — cheap at build.
+    d2 = (
+        np.sum(x * x, axis=1, keepdims=True)
+        - 2.0 * x @ centroids.T
+        + np.sum(centroids * centroids, axis=1)[None, :]
+    )
+    room = cap - counts
+    spilled: list[int] = []
+    for c in np.flatnonzero(counts > cap):
+        rows = np.flatnonzero(assign == c)
+        order = np.argsort(d2[rows, c], kind="stable")
+        for r in rows[order[cap:]]:
+            spilled.append(int(r))
+        room[c] = 0
+    # Re-home farthest-first is unnecessary; any stable order works since
+    # each row independently takes its nearest centroid with room.
+    for r in spilled:
+        for c in np.argsort(d2[r]):
+            if room[c] > 0:
+                assign[r] = c
+                room[c] -= 1
+                break
+    return assign
+
+
 class WeakANDIndex:
     """build(embeddings) / search(queries, k) mirroring the reference class
-    (utils/nearest_neighbors.py:70-139)."""
+    (utils/nearest_neighbors.py:70-139).
+
+    ``balance_factor`` caps every inverted list at
+    ``ceil(balance_factor * N / P)`` rows (0 disables balancing — the raw
+    k-means layout, whose largest cluster then sets the scan budget).
+    """
 
     def __init__(self, dim: int, num_partitions: int = 100,
-                 candidates_factor: int = 0, nprobe: int = 20, seed: int = 0):
+                 candidates_factor: int = 0, nprobe: int = 20, seed: int = 0,
+                 balance_factor: float = 4.0):
         self.dim = dim
         self.num_partitions = num_partitions
         self.candidates_factor = candidates_factor
         self.nprobe = min(num_partitions, nprobe)
         self.seed = seed
+        self.balance_factor = balance_factor
         self._emb = None          # reordered embeddings [N, D]
+        self._norm2 = None        # [N] precomputed squared norms
         self._perm = None         # original index per reordered row [N]
         self._offsets = None      # [P+1] list offsets into the reordered table
         self._centroids = None
@@ -83,17 +138,21 @@ class WeakANDIndex:
         p = min(self.num_partitions, n)
         centroids, assign = kmeans(x, jax.random.PRNGKey(self.seed), p)
         assign_np = np.asarray(assign)
+        x_np = np.asarray(x)
+        c_np = np.asarray(centroids)
+        if self.balance_factor and n:
+            cap = max(1, int(np.ceil(self.balance_factor * n / p)))
+            assign_np = balance_assignments(x_np, c_np, assign_np, cap)
         # Order each inverted list by distance to its centroid so the
         # fixed candidate budget (k * candidates_factor, see search) keeps
         # the most central rows when it truncates a long list.
-        x_np = np.asarray(x)
-        c_np = np.asarray(centroids)
         d_own = np.sum((x_np - c_np[assign_np]) ** 2, axis=1)
         order = np.lexsort((d_own, assign_np))
         counts = np.bincount(assign_np, minlength=p)
         offsets = np.zeros(p + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         self._emb = jnp.take(x, jnp.asarray(order), axis=0)
+        self._norm2 = jnp.sum(self._emb * self._emb, axis=1)
         self._perm = jnp.asarray(order.astype(np.int32))
         self._offsets = jnp.asarray(offsets.astype(np.int32))
         self._centroids = centroids
@@ -103,11 +162,13 @@ class WeakANDIndex:
         q = jnp.asarray(queries, dtype=jnp.float32)
         # candidates_factor bounds the per-probed-list scan budget to
         # k * factor rows (the Weak-AND candidate cap): latency/recall knob.
-        budget = self._max_list
+        # With balancing on, the default full-list budget is already capped
+        # at ceil(balance_factor * N / P).
+        budget = max(self._max_list, 1)
         if self.candidates_factor:
             budget = min(budget, max(k * self.candidates_factor, k))
         d, local = _ivf_search(
-            q, self._emb, self._centroids, self._offsets,
+            q, self._emb, self._norm2, self._centroids, self._offsets,
             nprobe=self.nprobe, max_list=budget, k=k,
         )
         ids = jnp.take(self._perm, jnp.maximum(local, 0), mode="clip")
@@ -118,6 +179,7 @@ class WeakANDIndex:
 def _ivf_search(
     q: jax.Array,           # [Q, D]
     emb: jax.Array,         # [N, D] cluster-ordered
+    norm2: jax.Array,       # [N]
     centroids: jax.Array,   # [P, D]
     offsets: jax.Array,     # [P+1]
     nprobe: int,
@@ -125,35 +187,45 @@ def _ivf_search(
     k: int,
 ):
     qn, d = q.shape
-    n = emb.shape[0]
     # Coarse quantizer: L2 to centroids, take nprobe nearest.
     cd = (
         jnp.sum(q * q, axis=1, keepdims=True)
         - 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
         + jnp.sum(centroids * centroids, axis=1)[None, :]
     )
-    _, probe = jax.lax.top_k(-cd, nprobe)                     # [Q, nprobe]
-
+    _, probe = jax.lax.top_k(-cd, nprobe)                      # [Q, nprobe]
     starts = jnp.take(offsets, probe)                          # [Q, nprobe]
     ends = jnp.take(offsets, probe + 1)
-    # Fixed candidate budget per probed list.
-    slot = jnp.arange(max_list, dtype=jnp.int32)               # [L]
-    cand = starts[:, :, None] + slot[None, None, :]            # [Q, nprobe, L]
-    valid = cand < ends[:, :, None]
-    cand_flat = jnp.where(valid, cand, 0).reshape(qn, -1)      # [Q, C]
-    valid_flat = valid.reshape(qn, -1)
 
-    cemb = jnp.take(emb, cand_flat, axis=0, mode="clip")       # [Q, C, D]
-    dist = (
-        jnp.sum(q * q, axis=1, keepdims=True)
-        - 2.0 * jnp.einsum("qd,qcd->qc", q, cemb, preferred_element_type=jnp.float32)
-        + jnp.sum(cemb * cemb, axis=2)
+    q_norm2 = jnp.sum(q * q, axis=1, keepdims=True)            # [Q, 1]
+    slot = jnp.arange(max_list, dtype=jnp.int32)               # [L]
+    kk = min(k, nprobe * max_list)
+
+    def one_probe(carry, se):
+        best_d, best_i = carry                                 # [Q, kk] each
+        s, e = se                                              # [Q] each
+        cand = s[:, None] + slot[None, :]                      # [Q, L]
+        valid = cand < e[:, None]
+        cand = jnp.where(valid, cand, 0)
+        cemb = jnp.take(emb, cand, axis=0, mode="clip")        # [Q, L, D]
+        dist = (
+            q_norm2
+            - 2.0 * jnp.einsum("qd,qld->ql", q, cemb,
+                               preferred_element_type=jnp.float32)
+            + jnp.take(norm2, cand, mode="clip")
+        )
+        dist = jnp.where(valid, dist, jnp.inf)
+        # Merge this probe's candidates into the running top-k.
+        all_d = jnp.concatenate([best_d, dist], axis=1)
+        all_i = jnp.concatenate([best_i, cand], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, kk)
+        return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((qn, kk), jnp.inf, jnp.float32),
+        jnp.zeros((qn, kk), jnp.int32),
     )
-    dist = jnp.where(valid_flat, dist, jnp.inf)
-    kk = min(k, dist.shape[1])
-    neg, pos = jax.lax.top_k(-dist, kk)
-    idx = jnp.take_along_axis(cand_flat, pos, axis=1)
-    dd = -neg
+    (dd, idx), _ = jax.lax.scan(one_probe, init, (starts.T, ends.T))
     if kk < k:
         dd = jnp.pad(dd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)

@@ -143,3 +143,72 @@ def test_lsh_matmul_impl_matches_popcount():
         for dist in np.unique(da[r]):
             assert (set(ia[r][da[r] == dist].tolist())
                     == set(ib[r][db[r] == dist].tolist()))
+
+
+def test_ivf_balanced_build_caps_lists():
+    """Skewed data (one dominant cluster) must not blow up the scan budget:
+    balance_factor caps every inverted list at ~factor x the mean size."""
+    rng = np.random.default_rng(3)
+    n, d, p = 4000, 32, 20
+    # 70% of rows literally identical: Lloyd can't split ties (identical
+    # rows share one argmin), guaranteeing a dominant inverted list — the
+    # real-world failure mode in miniature (near-duplicate embeddings).
+    blob = np.tile(0.05 * rng.standard_normal((1, d)), (int(n * 0.7), 1))
+    rest = rng.standard_normal((n - blob.shape[0], d)) + 4.0
+    x = np.concatenate([blob, rest]).astype(np.float32)
+
+    raw = ivf.WeakANDIndex(d, num_partitions=p, nprobe=5, balance_factor=0.0)
+    raw.build(x)
+    bal = ivf.WeakANDIndex(d, num_partitions=p, nprobe=5, balance_factor=4.0)
+    bal.build(x)
+    cap = int(np.ceil(4.0 * n / p))
+    assert bal._max_list <= cap
+    # The skew really was there: the unbalanced build exceeds the cap.
+    assert raw._max_list > cap
+
+    # Quality: balanced recall@10 vs exact stays high on the skewed corpus.
+    # Query only distinct rows — exact top-k among 2800 identical blob rows
+    # is tie-ambiguous, which would make set-recall meaningless.
+    q = x[blob.shape[0] + rng.choice(rest.shape[0], 16, replace=False)]
+    ex = exact.ExactIndex(d); ex.build(x)
+    _, ei = ex.search(q, k=10)
+    _, bi = bal.search(q, k=10)
+    bi, ei = np.asarray(bi), np.asarray(ei)
+    recall = np.mean([
+        len(set(bi[r][bi[r] >= 0]) & set(ei[r])) / 10 for r in range(q.shape[0])
+    ])
+    assert recall >= 0.9
+
+
+def test_ivf_balance_assignment_invariants():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    cent = rng.standard_normal((10, 8)).astype(np.float32)
+    d2 = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    cap = 60
+    out = ivf.balance_assignments(x, cent, assign, cap)
+    counts = np.bincount(out, minlength=10)
+    assert counts.max() <= cap
+    assert counts.sum() == 500
+    # Rows already under cap keep their nearest centroid.
+    under = np.isin(assign, np.flatnonzero(np.bincount(assign, minlength=10) <= cap))
+    np.testing.assert_array_equal(out[under], assign[under])
+
+
+def test_ivf_search_transient_is_probe_chunked():
+    """The candidate gather must be [Q, budget, D] per scan step, never
+    [Q, nprobe*budget, D]: search a corpus where the monolithic form would
+    allocate ~0.8 GB and assert it completes with modest peak (smoke: just
+    run it — the old form OOMed CI-sized hosts at larger shapes)."""
+    rng = np.random.default_rng(5)
+    n, d = 20_000, 64
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    index = ivf.WeakANDIndex(d, num_partitions=8, nprobe=8, balance_factor=0.0)
+    index.build(x)
+    q = x[:256]
+    dist, ids = index.search(q, k=10)
+    ids = np.asarray(ids)
+    assert ids.shape == (256, 10)
+    # Self-match: each query's own row must be its top hit.
+    assert (ids[:, 0] == np.arange(256)).mean() > 0.99
