@@ -83,11 +83,23 @@ class ModelConfig:
     # matrix instead of L — the memory that matters at ML-25M scale) and the
     # cheap batch-restricted gather for the final layer; "gather" keeps the
     # gather form everywhere (O(N*K) memory — required for very large
-    # corpora); "auto" picks dense <= dense_pool_max_rows rows, hybrid
-    # <= dense_pool_hybrid_max_rows, else gather.
+    # corpora); "block" tiles the full-graph pooling matrices into clustered
+    # [bs, cs] blocks (ops/block_sparse.py) — O(N * max_blocks * bs) memory,
+    # MXU matmuls, the >64k-row path; "auto" picks dense <=
+    # dense_pool_max_rows rows, hybrid <= dense_pool_hybrid_max_rows, block
+    # above that (gather remains the fallback for non-importance aggregators
+    # / single-layer models).
     pool_impl: str = "auto"
     dense_pool_max_rows: int = 32768
     dense_pool_hybrid_max_rows: int = 65536
+    # Block-sparse pooling shape knobs (pool_impl="block"/auto-at-scale).
+    block_pool_block_size: int = 512
+    block_pool_max_blocks: int = 32      # col blocks kept per row block
+    block_pool_clusters: int = 0         # 0 = auto (~N/256, capped 4096)
+    # Fall back to gather pooling when the clustered tiling would drop more
+    # than this fraction of total pooling weight (graph has no community
+    # structure the clustering can exploit).
+    block_pool_max_dropped_mass: float = 0.05
     # Storage dtype of the dense pool matrices. The hybrid/dense step is
     # HBM-bound on reading A (7 GB bf16 at ML-25M scale, touched twice per
     # step: A @ h forward, A^T @ g backward) — "float8_e4m3fn" halves that

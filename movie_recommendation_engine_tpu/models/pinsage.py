@@ -30,9 +30,22 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from ..ops.block_sparse import BlockPool, block_pool_matmul
 from . import aggregators
 
 Params = dict[str, Any]
+
+
+def _pool_apply(pm, h: jax.Array, dtype) -> jax.Array:
+    """Full-graph pooling through either dense-matrix or block-sparse form.
+
+    ``pm`` is a per-layer pooling operator: a dense [N, N] array (MXU matmul
+    — corpora whose A fits HBM) or an ops.block_sparse.BlockPool (clustered
+    [bs, cs] tiles — the >64k-row regime where [N, N] doesn't fit)."""
+    if isinstance(pm, BlockPool):
+        return block_pool_matmul(pm, h, dtype=dtype)
+    return jnp.dot(pm.astype(dtype), h.astype(dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
 
 _EPS = 1e-12  # torch F.normalize eps (model/pinsage.py:66)
 
@@ -382,8 +395,7 @@ def pooled_forward(
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
     for i, conv in enumerate(convs):
         if i < len(pool_mats):
-            h_neigh = jnp.dot(pool_mats[i].astype(dtype), h.astype(dtype),
-                              preferred_element_type=jnp.float32).astype(dtype)
+            h_neigh = _pool_apply(pool_mats[i], h, dtype)
         else:
             nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
             w = layer_weights[min(i, len(layer_weights) - 1)]
@@ -424,8 +436,7 @@ def pooled_forward_batch(
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
     for i, conv in enumerate(convs[:-1]):
         if i < len(pool_mats):
-            h_neigh = jnp.dot(pool_mats[i].astype(dtype), h.astype(dtype),
-                              preferred_element_type=jnp.float32).astype(dtype)
+            h_neigh = _pool_apply(pool_mats[i], h, dtype)
         else:
             nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
             w = layer_weights[min(i, len(layer_weights) - 1)]
@@ -438,7 +449,12 @@ def pooled_forward_batch(
     last = convs[-1]
     li = len(convs) - 1
     h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
-    if li < len(pool_mats):
+    if li < len(pool_mats) and isinstance(pool_mats[li], BlockPool):
+        # No cheap batch-row slab of a block pool; pool the full graph and
+        # take the batch rows (block pools are normally prefix-only).
+        h_neigh = jnp.take(_pool_apply(pool_mats[li], h, dtype),
+                           batch_nodes, axis=0, mode="clip")
+    elif li < len(pool_mats):
         a_batch = jnp.take(pool_mats[li], batch_nodes, axis=0, mode="clip")
         h_neigh = jnp.dot(a_batch.astype(dtype), h.astype(dtype),
                           preferred_element_type=jnp.float32).astype(dtype)

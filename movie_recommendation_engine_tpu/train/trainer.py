@@ -153,6 +153,7 @@ class Trainer:
         self.best_metric = -float("inf")
         self.nbr_tables: list[tuple[jax.Array, jax.Array]] | None = None
         self.pool_mats: tuple = ()
+        self._block_perm: np.ndarray | None = None  # cached cluster order
         self.compute_dtype = _dtype(cfg.train.compute_dtype)
         # Steps scanned per device dispatch (see _run_steps).
         self.steps_per_call = 8
@@ -246,6 +247,7 @@ class Trainer:
         # matrix does, and it removes the step-dominating full-graph gather.
         self.pool_mats = ()
         n_dense = 0
+        n_block = 0
         impl = cfg.model.pool_impl
         n_layers = cfg.model.num_layers
         eligible = (
@@ -263,6 +265,41 @@ class Trainer:
                     and self.table_rows <= cfg.model.dense_pool_hybrid_max_rows)
             ):
                 n_dense = n_layers - 1
+            elif n_layers > 1 and impl in ("block", "auto"):
+                # The >64k regime: [N, N] no longer fits HBM; tile the
+                # full-graph pooling into clustered blocks (block_sparse.py).
+                n_block = n_layers - 1
+        if n_block:
+            from ..ops import block_sparse as bsp
+
+            if self._block_perm is None:
+                t0 = time.perf_counter()
+                self._block_perm = bsp.cluster_permutation(
+                    np.asarray(self.x_table),
+                    num_clusters=cfg.model.block_pool_clusters,
+                    seed=cfg.train.seed,
+                )
+                self.log.log("block_cluster",
+                             seconds=time.perf_counter() - t0)
+            mats = []
+            for nbrs, w in tables[:n_block]:
+                bp, stats = bsp.build_block_pool(
+                    np.asarray(nbrs), np.asarray(w), self._block_perm,
+                    valid_limit=self.valid_limit,
+                    block_size=cfg.model.block_pool_block_size,
+                    max_blocks=cfg.model.block_pool_max_blocks,
+                )
+                self.log.log("block_pool", **stats)
+                if stats["dropped_mass"] > cfg.model.block_pool_max_dropped_mass:
+                    # Clustering found no exploitable structure; the tiled
+                    # matrix would distort pooling — fall back to gather.
+                    self.log.log("block_pool_fallback",
+                                 dropped_mass=stats["dropped_mass"])
+                    mats = []
+                    break
+                mats.append(bp)
+            self.pool_mats = tuple(mats)
+            return
         if n_dense:
             pool_dtype = {
                 "bfloat16": jnp.bfloat16,

@@ -148,3 +148,44 @@ def test_chunked_pool_matrix_builder():
                                        direct_above_rows=8)
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(ref))
     assert direct.dtype == jnp.bfloat16
+
+
+def test_trainer_block_matches_gather(tmp_path):
+    """pool_impl=block (clustered tiles, max_blocks covering everything)
+    reproduces the gather trainer exactly up to f32 summation order."""
+    losses_g, emb_g = _train_once("gather", tmp_path)
+
+    cfg = small_test_config()
+    cfg.train.epochs = 2
+    cfg.train.max_pairs_per_epoch = 128
+    cfg.model.pool_impl = "block"
+    cfg.model.block_pool_block_size = 64
+    cfg.model.block_pool_max_blocks = 10_000  # keep every block: exact
+    cfg.model.dropout = 0.0
+    cfg.train.compute_dtype = "float32"
+    cfg.paths.checkpoint_dir = str(tmp_path / "ck_block")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data, MetricsLogger(stream=io.StringIO()))
+    from movie_recommendation_engine_tpu.ops.block_sparse import BlockPool
+
+    out = tr.fit()
+    assert tr.pool_mats and isinstance(tr.pool_mats[0], BlockPool)
+    losses_b = [h["loss"] for h in out["history"]]
+    emb_b = np.asarray(tr.movie_embeddings())
+    np.testing.assert_allclose(losses_b, losses_g, rtol=5e-3)
+    cos = (emb_b * emb_g).sum(axis=1)
+    assert cos.min() > 0.995
+
+
+def test_trainer_block_fallback_on_dropped_mass(tmp_path):
+    """A max_blocks budget of 1 drops most pooling mass on the synthetic
+    graph -> the trainer must fall back to gather (empty pool_mats)."""
+    cfg = small_test_config()
+    cfg.model.pool_impl = "block"
+    cfg.model.block_pool_block_size = 16
+    cfg.model.block_pool_max_blocks = 1
+    cfg.paths.checkpoint_dir = str(tmp_path / "ck_blockfb")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data, MetricsLogger(stream=io.StringIO()))
+    tr.refresh_neighborhoods()
+    assert tr.pool_mats == ()
