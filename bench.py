@@ -41,42 +41,47 @@ NUM_HARD = 6
 STEPS = 100
 
 
-def _setup_numpy(seed=0):
+def _setup_numpy(seed=0, num_movies=NUM_MOVIES):
     """Synthetic tables shared by both implementations."""
     rng = np.random.default_rng(seed)
-    x = rng.standard_normal((NUM_MOVIES, FEATURE_DIM)).astype(np.float32)
+    x = rng.standard_normal((num_movies, FEATURE_DIM)).astype(np.float32)
     nbrs = []
     weights = []
     for _ in range(2):
-        nb = rng.integers(0, NUM_MOVIES, (NUM_MOVIES, K_NBRS)).astype(np.int32)
-        w = rng.random((NUM_MOVIES, K_NBRS)).astype(np.float32)
+        nb = rng.integers(0, num_movies, (num_movies, K_NBRS)).astype(np.int32)
+        w = rng.random((num_movies, K_NBRS)).astype(np.float32)
         w /= w.sum(axis=1, keepdims=True)
         nbrs.append(nb)
         weights.append(w)
     return x, nbrs, weights, rng
 
 
-def bench_tpu(x, nbrs, weights, rng, pool="dense"):
+def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS):
     """pool="dense": importance pooling as an [N, N] bf16 MXU matmul (what
     train/trainer.py uses for corpora <= dense_pool_max_rows — measured ~50x
-    faster on TPU than the irregular row gather). pool="gather": the [B,K,D]
-    gather form (the large-corpus fallback)."""
+    faster on TPU than the irregular row gather). pool="hybrid": ONE [N, N]
+    matrix for the full-graph layer + batch gather for the final layer (the
+    trainer's ML-25M-scale configuration). pool="gather": the [B,K,D] gather
+    form (the very-large-corpus fallback)."""
     import jax
     import jax.numpy as jnp
 
     from movie_recommendation_engine_tpu.models import losses, pinsage
     from movie_recommendation_engine_tpu.train import optim
 
+    num_movies = x.shape[0]
     key = jax.random.PRNGKey(0)
     params = pinsage.init_params(key, FEATURE_DIM, HIDDEN, EMBED, 2)
     opt_state = optim.adam_init(params)
     xj = jnp.asarray(x)
     nbrs_j = tuple(jnp.asarray(n) for n in nbrs)
     w_j = tuple(jnp.asarray(w) for w in weights)
-    if pool == "dense":
-        build = jax.jit(pinsage.dense_pool_matrix, static_argnames=("num_cols",))
-        pool_mats = tuple(build(n, w, num_cols=NUM_MOVIES)
-                          for n, w in zip(nbrs_j, w_j))
+    if pool in ("dense", "hybrid"):
+        n_mats = len(nbrs_j) if pool == "dense" else len(nbrs_j) - 1
+        pool_mats = tuple(
+            pinsage.build_pool_matrix(n, w, num_cols=num_movies)
+            for n, w in zip(nbrs_j[:n_mats], w_j[:n_mats])
+        )
         # Optional f8 storage for the pool matrices (halves their HBM reads;
         # see config.ModelConfig.pool_matrix_dtype). A/B via env.
         pool_dtype = os.environ.get("MRE_BENCH_POOL_DTYPE", "bfloat16")
@@ -107,7 +112,7 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
 
             def loss_fn(params):
                 all_nodes = jnp.concatenate([q, p, rn, hn.reshape(-1)])
-                if pool_mats:
+                if len(pool_mats) == len(params["convs"]):
                     emb = pinsage.pooled_forward_batch_dense(
                         params, xj, list(pool_mats), all_nodes,
                         dtype=jnp.bfloat16,
@@ -115,7 +120,8 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
                 else:
                     emb = pinsage.pooled_forward_batch(
                         params, xj, list(nbrs_j), list(w_j), all_nodes,
-                        valid_limit=NUM_MOVIES, dtype=jnp.bfloat16,
+                        valid_limit=num_movies, dtype=jnp.bfloat16,
+                        pool_mats=pool_mats,
                     )
                 q_e, p_e = emb[:b], emb[b:2 * b]
                 r_e = emb[2 * b:2 * b + r]
@@ -133,24 +139,24 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
         return params, opt_state, step_losses
 
     def blocks(s):
-        q = jnp.asarray(rng.integers(0, NUM_MOVIES, (s, BATCH)), jnp.int32)
-        p = jnp.asarray(rng.integers(0, NUM_MOVIES, (s, BATCH)), jnp.int32)
-        rn = jnp.asarray(rng.integers(0, NUM_MOVIES, (s, NUM_RAND_NEG)), jnp.int32)
+        q = jnp.asarray(rng.integers(0, num_movies, (s, BATCH)), jnp.int32)
+        p = jnp.asarray(rng.integers(0, num_movies, (s, BATCH)), jnp.int32)
+        rn = jnp.asarray(rng.integers(0, num_movies, (s, NUM_RAND_NEG)), jnp.int32)
         hn = jnp.asarray(
-            rng.integers(0, NUM_MOVIES, (s, BATCH, NUM_HARD)), jnp.int32
+            rng.integers(0, num_movies, (s, BATCH, NUM_HARD)), jnp.int32
         )
         return q, p, rn, hn
 
     # Warmup output params/opt feed the timed call — inputs are donated.
     params, opt_state, loss = run_steps(
-        params, opt_state, xj, nbrs_j, w_j, pool_mats, *blocks(STEPS))
+        params, opt_state, xj, nbrs_j, w_j, pool_mats, *blocks(steps))
     _ = np.asarray(loss)   # absorb compile; force true materialization
 
     # Generate and UPLOAD the timed call's inputs before t0: host-side RNG
     # plus the ~2 MB host->device transfer over the tunnel would otherwise
     # pollute the device throughput measurement. np.asarray round-trips each
     # buffer through the host — a compile-free hard sync on this backend.
-    blk = blocks(STEPS)
+    blk = blocks(steps)
     for b in blk:
         np.asarray(b)
 
@@ -159,7 +165,7 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense"):
         params, opt_state, xj, nbrs_j, w_j, pool_mats, *blk)
     loss_host = np.asarray(loss)   # host materialization = hard sync
     dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt, float(loss_host[-1])
+    return BATCH * steps / dt, float(loss_host[-1])
 
 
 def bench_torch_baseline(x, nbrs, weights, rng, steps=6):
@@ -293,6 +299,36 @@ def bench_walk_sampling(rng, num_nodes=50_000, avg_deg=30, batch=1024,
     return nodes_per_sec
 
 
+AT_SCALE_MOVIES = 59_392      # ML-25M catalog scale (hybrid pooling regime)
+AT_SCALE_STEPS = 40
+HBM_GBPS = 819.0              # TPU v5e peak HBM bandwidth (roofline basis)
+
+
+def bench_at_scale():
+    """The ML-25M-scale figure (59k rows, hybrid pooling — the trainer's
+    auto-selected config there) plus its HBM roofline: the hybrid step is
+    bandwidth-bound on reading the [N, N] bf16 pool matrix twice per step
+    (A @ h forward, A^T @ g backward)."""
+    x, nbrs, weights, _ = _setup_numpy(seed=2, num_movies=AT_SCALE_MOVIES)
+    exps, _loss = bench_tpu(x, nbrs, weights, np.random.default_rng(2),
+                            pool="hybrid", steps=AT_SCALE_STEPS)
+    step_ms = BATCH / exps * 1e3
+    # Dominant traffic per step: the [N, N] bf16 matrix read forward AND
+    # backward. (Activations/tables are ~1% of that at this scale.)
+    bytes_per_step = 2 * AT_SCALE_MOVIES * AT_SCALE_MOVIES * 2
+    roofline_ms = bytes_per_step / (HBM_GBPS * 1e9) * 1e3
+    return {
+        "num_movies": AT_SCALE_MOVIES,
+        "pool": "hybrid",
+        "examples_per_sec_per_chip": round(exps, 1),
+        "step_ms": round(step_ms, 2),
+        "bytes_per_step": bytes_per_step,
+        "roofline_ms": round(roofline_ms, 2),
+        "roofline_fraction": round(roofline_ms / step_ms, 3),
+        "hbm_gbps_assumed": HBM_GBPS,
+    }
+
+
 def main():
     x, nbrs, weights, rng = _setup_numpy()
     print("benchmarking torch CPU baseline ...", file=sys.stderr)
@@ -303,18 +339,34 @@ def main():
     ours, loss = bench_tpu(x, nbrs, weights, np.random.default_rng(1))
     print(f"tpu: {ours:.1f} examples/s (loss {loss:.4f})", file=sys.stderr)
 
-    # PRIMARY line first — secondaries must never delay or sink it.
-    print(json.dumps({
+    # PRIMARY line first — the at-scale/secondary phases must never delay or
+    # sink it (a stall there would otherwise lose the whole bench).
+    line = {
         "metric": "pinsage_train_examples_per_sec_per_chip",
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(ours / baseline, 2),
-    }), flush=True)
+    }
+    print(json.dumps(line), flush=True)
+
+    # ML-25M-scale configuration + roofline (MRE_BENCH_AT_SCALE=0 disables).
+    # Re-printed as an enriched copy of the primary line: same metric/value,
+    # so either first-line or last-line parsing of stdout reads the same
+    # primary number.
+    if os.environ.get("MRE_BENCH_AT_SCALE", "1") == "1":
+        try:
+            print("benchmarking at-scale (59k hybrid) ...", file=sys.stderr)
+            line["at_scale"] = bench_at_scale()
+            print(f"at_scale: {line['at_scale']}", file=sys.stderr)
+            print(json.dumps(line), flush=True)
+        except Exception as e:  # never sink the primary result
+            print(f"at-scale bench failed: {e}", file=sys.stderr)
 
     # Secondary metrics are OPT-IN (MRE_BENCH_SECONDARY=1): each extra jitted
     # program risks a multi-minute remote-compile stall on the tunnel backend,
-    # and the driver only needs the primary line above. The LSH/walk numbers
-    # are recorded in BASELINE.md from dedicated probe runs.
+    # and the driver only needs the primary line above. Measured LSH/IVF/walk
+    # numbers live in RESULTS.md (dedicated probe runs:
+    # scripts/retrieval59k_bench.py, scripts/serving59k_bench.py).
     if os.environ.get("MRE_BENCH_SECONDARY", "0") != "1":
         return
     try:

@@ -309,6 +309,20 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # Multi-host: join the jax.distributed cluster when the standard env
+    # vars are set (no-op otherwise). Must precede any backend use.
+    from ..parallel.mesh import distributed_init
+
+    if distributed_init():
+        import jax
+
+        MetricsLogger().log(
+            "distributed_init",
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            local_devices=len(jax.local_devices()),
+            global_devices=len(jax.devices()),
+        )
     cfg = _load_config(args)
 
     if args.mode == "all":  # run.py mode 'all': train then evaluate then recommend

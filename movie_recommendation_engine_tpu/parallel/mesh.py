@@ -20,11 +20,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def distributed_init() -> None:
-    """Multi-host init (jax.distributed) when the standard env vars are set;
-    no-op single-host."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+def distributed_init(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host init. Must run BEFORE the first backend use (calling any
+    device-touching jax API first would bind a single-process backend).
+
+    Auto-configures from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID when args are omitted; returns False (no-op) when no
+    coordinator is configured — the single-host path. The CLI calls this on
+    every entry (cli/main.py), so a pod launch is just:
+
+        JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=N \\
+        JAX_PROCESS_ID=i python -m movie_recommendation_engine_tpu train ...
+    """
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coordinator:
+        return False
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if process_id is None:
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env else None
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
 
 
 def make_mesh(

@@ -1,0 +1,55 @@
+"""True multi-process (2 x 4-virtual-device) jax.distributed test.
+
+The virtual-mesh tests (conftest's 8-device single process) prove the SPMD
+programs; this proves the MULTI-HOST runtime path: jax.distributed init over
+a local coordinator, gloo CPU collectives, cross-process gradient psum, and
+the sharded-retrieval all-gather — the layers a real pod exercises over DCN
+(SURVEY.md §2b obligation; VERDICT r1 missing #4)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_sharded_epoch_and_retrieval():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=360)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err[-2000:]}"
+    verdict_line = [
+        l for l in outs[0][1].splitlines() if l.startswith("{")
+    ][-1]
+    verdict = json.loads(verdict_line)
+    assert verdict["process_count"] == 2
+    assert verdict["global_devices"] == 8
+    assert verdict["ok"], verdict
