@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--movies", type=int, default=59_000)
     ap.add_argument("--users", type=int, default=162_000)
     ap.add_argument("--ratings", type=int, default=8_000_000)
+    ap.add_argument("--max-blocks", type=int, default=32,
+                    help="block impl: col blocks kept per row block")
+    ap.add_argument("--block-size", type=int, default=512)
+    ap.add_argument("--dropped-cap", type=float, default=0.05,
+                    help="block impl: gather fallback above this dropped mass")
     ap.add_argument("--platform", default="default")
     args = ap.parse_args()
 
@@ -66,6 +71,9 @@ def main():
     cfg.train.epochs = args.epochs
     cfg.train.max_pairs_per_epoch = args.max_pairs
     cfg.model.dropout = 0.0
+    cfg.model.block_pool_max_blocks = args.max_blocks
+    cfg.model.block_pool_block_size = args.block_size
+    cfg.model.block_pool_max_dropped_mass = args.dropped_cap
     cfg.eval.eval_every = 0  # pure step timing
     cfg.paths.checkpoint_dir = "/tmp/pool59k_ck"
     cfg.paths.output_dir = "/tmp/pool59k_out"

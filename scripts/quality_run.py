@@ -30,6 +30,12 @@ def main():
                     help="epochs between neighborhood-table refreshes")
     ap.add_argument("--platform", default="default")
     ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="dotted config override key=value (repeatable) — "
+                         "e.g. --set model.init_style=torch_default for the "
+                         "reference-parity ablations")
+    ap.add_argument("--tag", default="", help="label appended to the RESULTS "
+                                              "section header")
     args = ap.parse_args()
 
     if args.platform != "default":
@@ -69,6 +75,10 @@ def main():
     cfg.eval.patience = args.epochs  # no early stop for the report
     cfg.paths.checkpoint_dir = "/tmp/quality_ck"
     cfg.paths.output_dir = "/tmp/quality_out"
+    if args.overrides:
+        from movie_recommendation_engine_tpu.cli.main import _parse_overrides
+
+        cfg = cfg.override(_parse_overrides(args.overrides))
 
     t0 = time.time()
     data = dataset.load(cfg)
@@ -120,9 +130,13 @@ def main():
     }
     print(json.dumps(report, indent=2, default=float))
 
+    report["overrides"] = args.overrides
     with open(args.out, "a") as f:
+        tag = f", {args.tag}" if args.tag else ""
         f.write(f"\n## Quality run — {time.strftime('%Y-%m-%d %H:%M')} "
-                f"({args.scale}, {report['device']})\n\n")
+                f"({args.scale}{tag}, {report['device']})\n\n")
+        if args.overrides:
+            f.write(f"- overrides: `{' '.join(args.overrides)}`\n")
         f.write(f"- corpus: {report['num_movies']} movies / "
                 f"{report['num_users']} users / {report['num_ratings']} ratings; "
                 f"{report['train_pairs']} train pairs, {report['test_pairs']} test pairs\n")
