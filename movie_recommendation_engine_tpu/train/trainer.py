@@ -281,6 +281,10 @@ class Trainer:
                 )
                 self.log.log("block_cluster",
                              seconds=time.perf_counter() - t0)
+            pool_dtype = {
+                "bfloat16": jnp.bfloat16,
+                "float8_e4m3fn": jnp.float8_e4m3fn,
+            }[cfg.model.pool_matrix_dtype]
             mats = []
             for nbrs, w in tables[:n_block]:
                 bp, stats = bsp.build_block_pool(
@@ -297,6 +301,24 @@ class Trainer:
                                  dropped_mass=stats["dropped_mass"])
                     mats = []
                     break
+                if bp.a_blocks.dtype != pool_dtype:
+                    # Quantize AFTER the bf16 scatter build (same rationale
+                    # as the dense path: scatter-add into f8 loses additions).
+                    bp = bp._replace(a_blocks=_cast_matrix(bp.a_blocks,
+                                                           pool_dtype))
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    r_rows = int(bp.a_blocks.shape[0])
+                    model_size = self.mesh.shape[self.cfg.mesh.model_axis]
+                    if r_rows % model_size == 0:
+                        row4 = NamedSharding(self.mesh,
+                                             P("model", None, None, None))
+                        row2 = NamedSharding(self.mesh, P("model", None))
+                        bp = bp._replace(
+                            a_blocks=jax.device_put(bp.a_blocks, row4),
+                            col_idx=jax.device_put(bp.col_idx, row2),
+                        )
                 mats.append(bp)
             self.pool_mats = tuple(mats)
             return

@@ -61,3 +61,18 @@ def test_mesh_trainer_hybrid_pooling(cfg_data, tmp_path):
     assert abs(loss_g - loss_h) < 1e-3
     cos = (emb_g * emb_h).sum(axis=1)
     assert cos.min() > 0.999
+
+
+def test_mesh_trainer_block_pooling(cfg_data, tmp_path):
+    """Block-sparse pooling under a mesh (a_blocks row-sharded over the
+    model axis when divisible) matches the unsharded gather trainer."""
+    cfg, data = cfg_data
+    cfg_b = cfg.override({
+        "model.block_pool_block_size": 16,
+        "model.block_pool_max_blocks": 10_000,  # exact
+    })
+    loss_g, emb_g = _fit(cfg, data, tmp_path / "g", None, False, "gather")
+    loss_b, emb_b = _fit(cfg_b, data, tmp_path / "h", (2, 4), False, "block")
+    assert abs(loss_g - loss_b) < 1e-3
+    cos = (emb_g * emb_b).sum(axis=1)
+    assert cos.min() > 0.999
