@@ -107,6 +107,14 @@ class ModelConfig:
     # e4m3's ~6% relative step is below the sampling noise; rows are
     # renormalized before quantization.
     pool_matrix_dtype: str = "bfloat16"  # bfloat16 | float8_e4m3fn
+    # Gather-form pooling implementation used wherever pooling is NOT a dense
+    # matrix (the final hybrid layer's batch gather, pool_impl="gather", block
+    # fallback): "xla" = gather + einsum (materializes [B, K, D] in HBM);
+    # "pallas" = fused DMA-gather kernel (ops/pallas/pool.py — rows stream
+    # through VMEM, ~1/3 the HBM traffic); "auto" = pallas on a real local
+    # TPU backend, xla elsewhere (the axon tunnel cannot remote-compile
+    # Mosaic kernels, and off-TPU the kernel only runs in interpret mode).
+    gather_impl: str = "auto"
     # Which nodes are eligible as pooled neighbors. The reference passes only
     # movie features to pooling, so user-node neighbors are silently dropped as
     # out-of-range indices (model/pinsage.py:124). "movies_only" reproduces

@@ -158,24 +158,54 @@ def mlp_forward(params: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 # (b) importance-pooling path
 # ---------------------------------------------------------------------------
 
+# Gather-form pooling implementation: "xla" (gather + einsum) or "pallas"
+# (fused DMA-gather kernel, ops/pallas/pool.py — gathered rows live only in
+# VMEM instead of a round-tripped [B, K, D] HBM tensor). Module-level because
+# it is a host-side dispatch choice, not part of the math; set once by the
+# Trainer from config.model.gather_impl (with backend gating — the axon
+# tunnel cannot remote-compile Mosaic kernels, CLAUDE.md).
+_GATHER_IMPL = "xla"
+
+
+def set_gather_impl(impl: str) -> None:
+    global _GATHER_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"gather impl must be 'xla' or 'pallas', got {impl!r}")
+    _GATHER_IMPL = impl
+
+
 def importance_pool(
     h_table: jax.Array,   # [N, D]
     nbrs: jax.Array,      # [B, K] int32, sentinel for empty slots
     weights: jax.Array,   # [B, K] f32
     valid_limit: int | None = None,
     dtype=jnp.bfloat16,
+    impl: str | None = None,
 ) -> jax.Array:
     """Masked weighted-sum pooling (model/pinsage.py:101-150).
 
     ``valid_limit`` masks neighbors with id >= limit — reproducing the
     reference's silent drop of out-of-range (user-node) indices when pooling
-    over a movies-only table (model/pinsage.py:124)."""
+    over a movies-only table (model/pinsage.py:124).
+
+    ``impl`` overrides the module-level gather implementation ("xla" or
+    "pallas"); both compute identical math (tests/test_pallas_ops.py)."""
     n = h_table.shape[0]
     limit = n if valid_limit is None else min(valid_limit, n)
     valid = nbrs < limit
     w = jnp.where(valid, weights, 0.0)
     wsum = jnp.sum(w, axis=1, keepdims=True)
     w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
+    if (impl or _GATHER_IMPL) == "pallas":
+        from ..ops.pallas.pool import gather_pool_ad
+
+        # Interpret mode off-TPU (Mosaic kernels only compile for TPU); the
+        # table is cast to ``dtype`` first so the per-row DMAs move half the
+        # bytes, matching the XLA path's cast-before-gather.
+        interpret = jax.default_backend() != "tpu"
+        out = gather_pool_ad(h_table.astype(dtype), nbrs,
+                             w.astype(jnp.float32), limit, 8, interpret)
+        return out.astype(dtype)
     # Cast the table BEFORE the gather: the [B, K, D] gather (and its
     # backward scatter) dominates step bandwidth; moving bf16 instead of f32
     # halves the bytes (step is HBM-bound — 3.5 GB/step at bench shapes).

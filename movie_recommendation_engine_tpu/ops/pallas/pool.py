@@ -142,3 +142,47 @@ def gather_pool(
         interpret=interpret,
     )(idx, w, table)
     return out[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gather_pool_ad(
+    table: jax.Array,
+    nbrs: jax.Array,
+    weights: jax.Array,
+    valid_limit: int,
+    tile_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """``gather_pool`` with a custom VJP, usable inside training steps.
+
+    Forward runs the fused DMA-gather kernel; backward is expressed in XLA
+    (scatter-add for the table cotangent, gather+dot for the weight
+    cotangent) — a hand-written TPU scatter kernel buys nothing here since
+    scatter-add measured strictly worse than XLA's on this workload
+    (CLAUDE.md performance facts)."""
+    return gather_pool(table, nbrs, weights, valid_limit, tile_b, interpret)
+
+
+def _gather_pool_fwd(table, nbrs, weights, valid_limit, tile_b, interpret):
+    out = gather_pool(table, nbrs, weights, valid_limit, tile_b, interpret)
+    return out, (table, nbrs, weights)
+
+
+def _gather_pool_bwd(valid_limit, tile_b, interpret, res, g):
+    table, nbrs, weights = res
+    n, d = table.shape
+    valid = (nbrs >= 0) & (nbrs < valid_limit)
+    w = jnp.where(valid, weights.astype(jnp.float32), 0.0)
+    idx = jnp.clip(nbrs, 0, valid_limit - 1).astype(jnp.int32)
+    g32 = g.astype(jnp.float32)
+    # d_table[r] = sum over (b,k) with idx==r of w[b,k] * g[b,:]
+    contrib = (w[..., None] * g32[:, None, :]).reshape(-1, d)
+    d_table = jnp.zeros((n, d), jnp.float32).at[idx.reshape(-1)].add(contrib)
+    # d_w[b,k] = <g[b], table[idx[b,k]]> at valid slots (masked slots saw 0).
+    feats = jnp.take(table.astype(jnp.float32), idx, axis=0)
+    d_w = jnp.einsum("bd,bkd->bk", g32, feats)
+    d_w = jnp.where(valid, d_w, 0.0).astype(weights.dtype)
+    return d_table.astype(table.dtype), None, d_w
+
+
+gather_pool_ad.defvjp(_gather_pool_fwd, _gather_pool_bwd)

@@ -158,6 +158,19 @@ class Trainer:
         # Steps scanned per device dispatch (see _run_steps).
         self.steps_per_call = 8
 
+        # Gather-form pooling implementation (config.ModelConfig.gather_impl).
+        # "auto" resolves to the fused Pallas kernel only on a real local TPU
+        # backend: the axon tunnel's remote compiler cannot build Mosaic
+        # kernels (hangs/413 — CLAUDE.md), and off-TPU the kernel would run
+        # in interpret mode. MRE_USE_PALLAS=1 forces it for probe runs.
+        gi = cfg.model.gather_impl
+        if gi == "auto":
+            force = os.environ.get("MRE_USE_PALLAS") == "1"
+            gi = "pallas" if (jax.default_backend() == "tpu" or force) else "xla"
+        pinsage.set_gather_impl(gi)
+        if gi != "xla":
+            self.log.log("gather_impl", impl=gi)
+
         # ---- optional device mesh (multi-chip) -----------------------------
         # Opt-in via cfg.mesh.mesh_shape. Batch dims are sharded over "data"
         # (gradient psum inserted by the SPMD partitioner); tables are

@@ -99,3 +99,56 @@ def test_gather_pool_kernel_matches_importance_pool():
                               dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
                                atol=1e-4)
+
+
+def test_gather_pool_ad_gradients_match_xla():
+    """The custom-VJP kernel wrapper must produce the same table/weight
+    gradients as the plain XLA gather+einsum formulation."""
+    rng = np.random.default_rng(5)
+    n, d, b, k = 48, 64, 7, 5
+    table = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    nbrs = jnp.asarray(rng.integers(0, n + 1, (b, k)).astype(np.int32))
+    w = jnp.asarray(rng.random((b, k)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+
+    def loss_pallas(t, ww):
+        out = pool.gather_pool_ad(t, nbrs, ww, n, 4, True)
+        return jnp.sum(out * cot)
+
+    def loss_xla(t, ww):
+        mask = (nbrs >= 0) & (nbrs < n)
+        wm = jnp.where(mask, ww, 0.0)
+        feats = jnp.take(t, jnp.clip(nbrs, 0, n - 1), axis=0)
+        out = jnp.einsum("bk,bkd->bd", wm, feats)
+        return jnp.sum(out * cot)
+
+    gt_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(table, w)
+    gt_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(table, w)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), atol=1e-4)
+
+
+def test_importance_pool_pallas_impl_matches_xla():
+    """importance_pool(impl="pallas") == importance_pool(impl="xla") —
+    value AND gradient through the model's actual pooling entry point."""
+    from movie_recommendation_engine_tpu.models.pinsage import importance_pool
+
+    rng = np.random.default_rng(6)
+    n, d, b, k = 40, 32, 6, 4
+    table = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    nbrs = jnp.asarray(rng.integers(0, n + 1, (b, k)).astype(np.int32))
+    w = jnp.asarray(rng.random((b, k)).astype(np.float32))
+
+    def run(impl):
+        def loss(t):
+            out = importance_pool(t, nbrs, w, valid_limit=n,
+                                  dtype=jnp.float32, impl=impl)
+            return jnp.sum(out ** 2)
+
+        val, grad = jax.value_and_grad(loss)(table)
+        return np.asarray(val), np.asarray(grad)
+
+    v_p, g_p = run("pallas")   # interpret mode on CPU (backend != tpu)
+    v_x, g_x = run("xla")
+    np.testing.assert_allclose(v_p, v_x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(g_p, g_x, atol=1e-4)
