@@ -134,24 +134,39 @@ class LSHIndex:
 
 @jax.jit
 def _unpack_pm(sigs: jax.Array) -> jax.Array:
-    """Packed [N, T, W] uint32 -> +-1 bf16 [N, T, W*32] (bit 1 -> +1)."""
+    """Packed [N, T, W] uint32 -> +-1 bf16 [T, N, W*32] (bit 1 -> +1).
+
+    Table-major layout so each scan step of the search slices one
+    contiguous [N, B] operand (no per-search transpose of the corpus)."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (sigs[..., None] >> shifts) & jnp.uint32(1)          # [N, T, W, 32]
     pm = bits.astype(jnp.bfloat16) * 2.0 - 1.0
     n, t, w, _ = pm.shape
-    return pm.reshape(n, t, w * 32)
+    return jnp.moveaxis(pm.reshape(n, t, w * 32), 1, 0)
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _hamming_topk_matmul(qsig_pm: jax.Array, sigs_pm: jax.Array, k: int):
     """MXU Hamming: for +-1 vectors of length B, ham = (B - q.s) / 2.
-    One [Q, B] x [B, N] matmul per table (batched einsum), min over tables,
-    single top-k. Integer dot products (|ip| <= B) accumulate exactly in
-    f32, so results are bit-identical to the popcount form."""
-    b = qsig_pm.shape[-1]
-    ip = jnp.einsum("qtb,ntb->qnt", qsig_pm, sigs_pm,
-                    preferred_element_type=jnp.float32)          # [Q, N, T]
-    dist = (b - jnp.max(ip, axis=-1)) * 0.5                     # min-ham
+
+    ``lax.scan`` over tables of one [Q, B] x [B, N] matmul each with a
+    running max — structurally the same program as exact search (matmul +
+    top_k), which the axon tunnel's remote compiler handles at full-corpus
+    scale. The batched-einsum form ("qtb,ntb->qnt", one [Q, N, T] f32
+    intermediate) hung that compiler at 59k items. Integer dot products
+    (|ip| <= B) accumulate exactly in f32, so results are bit-identical to
+    the popcount form."""
+    t, n, b = sigs_pm.shape
+    q = qsig_pm.shape[1]                                        # [T, Q, B]
+
+    def body(best, ts):
+        qs, ss = ts
+        ip = jnp.dot(qs, ss.T, preferred_element_type=jnp.float32)  # [Q, N]
+        return jnp.maximum(best, ip), None
+
+    init = jnp.full((q, n), -jnp.inf, jnp.float32)
+    best, _ = jax.lax.scan(body, init, (qsig_pm, sigs_pm))
+    dist = (b - best) * 0.5                                     # min-ham
     neg, idx = jax.lax.top_k(-dist, k)
     return (-neg).astype(jnp.int32), idx
 
