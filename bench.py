@@ -1,8 +1,11 @@
 """Benchmark: PinSage training throughput (examples/s/chip) on TPU vs the
 reference's PyTorch architecture on CPU.
 
-Prints ONE JSON line to stdout:
+Prints the primary JSON line to stdout:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+and then (unless MRE_BENCH_AT_SCALE=0) re-prints it enriched with an
+"at_scale" field for the ML-25M-scale configuration — same metric/value, so
+first-line and last-line stdout parsers read the same primary number.
 
 Workload: synthetic MovieLens-shaped graph (the reference workload shape:
 2-layer PinSage, hidden 256, embed 128, K=50 neighbors, batch 512, 500 shared
@@ -352,8 +355,16 @@ def main():
     # ML-25M-scale configuration + roofline (MRE_BENCH_AT_SCALE=0 disables).
     # Re-printed as an enriched copy of the primary line: same metric/value,
     # so either first-line or last-line parsing of stdout reads the same
-    # primary number.
+    # primary number. The primary is already flushed, so from here the worst
+    # a tunnel wedge can do is hang this process — the watchdog turns that
+    # into a clean exit instead of an indefinite park (CLAUDE.md: a wedged
+    # sync can sit 90+ min at zero CPU; never leave the driver waiting).
     if os.environ.get("MRE_BENCH_AT_SCALE", "1") == "1":
+        import threading
+
+        watchdog = threading.Timer(1500.0, lambda: os._exit(0))
+        watchdog.daemon = True
+        watchdog.start()
         try:
             print("benchmarking at-scale (59k hybrid) ...", file=sys.stderr)
             line["at_scale"] = bench_at_scale()
@@ -361,6 +372,7 @@ def main():
             print(json.dumps(line), flush=True)
         except Exception as e:  # never sink the primary result
             print(f"at-scale bench failed: {e}", file=sys.stderr)
+        watchdog.cancel()
 
     # Secondary metrics are OPT-IN (MRE_BENCH_SECONDARY=1): each extra jitted
     # program risks a multi-minute remote-compile stall on the tunnel backend,

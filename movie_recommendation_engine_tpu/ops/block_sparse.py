@@ -84,11 +84,9 @@ def cluster_permutation(
     live = np.flatnonzero(counts > 0)
     cl = c[live]
     m = live.shape[0]
-    d2 = (
-        np.sum(cl * cl, axis=1, keepdims=True)
-        - 2.0 * cl @ cl.T
-        + np.sum(cl * cl, axis=1)[None, :]
-    )
+    from ..retrieval.ivf import pairwise_sq_dists
+
+    d2 = pairwise_sq_dists(cl, cl)
     np.fill_diagonal(d2, np.inf)
     visited = np.zeros(m, bool)
     order = np.empty(m, np.int64)

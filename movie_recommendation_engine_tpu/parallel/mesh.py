@@ -19,6 +19,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_DISTRIBUTED_INITIALIZED = False
+
 
 def distributed_init(
     coordinator: str | None = None,
@@ -36,20 +38,33 @@ def distributed_init(
         JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=N \\
         JAX_PROCESS_ID=i python -m movie_recommendation_engine_tpu train ...
     """
+    global _DISTRIBUTED_INITIALIZED
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator:
         return False
+    if _DISTRIBUTED_INITIALIZED:
+        # initialize() may be called at most once per process; the CLI calls
+        # this on every entry, and main(argv) is a public programmatic API
+        # that may run several commands in one process.
+        return True
     if num_processes is None:
         env = os.environ.get("JAX_NUM_PROCESSES")
         num_processes = int(env) if env else None
     if process_id is None:
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # Initialized outside this helper (e.g. by the embedding
+        # application) — treat as already-joined rather than crashing.
+        if "once" not in str(e):
+            raise
+    _DISTRIBUTED_INITIALIZED = True
     return True
 
 

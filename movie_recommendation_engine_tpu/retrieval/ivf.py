@@ -61,6 +61,20 @@ def kmeans(x: jax.Array, key: jax.Array, num_clusters: int, iters: int = 15):
     return centroids, jnp.argmin(dist, axis=1)
 
 
+def pairwise_sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Host-side [N, P] squared L2 distances via the three-term expansion
+    |x|^2 - 2 x.c + |c|^2, clamped at 0 (cancellation on near-duplicate rows
+    can go slightly negative). Shared by build-time balancing and the
+    block-pool cluster ordering; the jitted k-means/search paths keep their
+    in-program formulations."""
+    d2 = (
+        np.sum(x * x, axis=1, keepdims=True)
+        - 2.0 * x @ c.T
+        + np.sum(c * c, axis=1)[None, :]
+    )
+    return np.maximum(d2, 0.0)
+
+
 def balance_assignments(
     x: np.ndarray,          # [N, D]
     centroids: np.ndarray,  # [P, D]
@@ -74,16 +88,16 @@ def balance_assignments(
     of 100 lists probed, a 2nd/3rd-nearest home is still found by the coarse
     quantizer with high probability (recall covered by tests)."""
     p = centroids.shape[0]
+    # Feasibility floor: with cap * P < N there is not enough room anywhere
+    # and rows would silently stay in their overfull list (violating the
+    # promised scan-budget bound). ceil(N/P) is the tightest honorable cap.
+    cap = max(cap, -(-x.shape[0] // p))
     counts = np.bincount(assign, minlength=p)
     if counts.max(initial=0) <= cap:
         return assign
     assign = assign.copy()
     # Full [N, P] distance table: 59k x 100 f32 = 24 MB — cheap at build.
-    d2 = (
-        np.sum(x * x, axis=1, keepdims=True)
-        - 2.0 * x @ centroids.T
-        + np.sum(centroids * centroids, axis=1)[None, :]
-    )
+    d2 = pairwise_sq_dists(x, centroids)
     room = cap - counts
     spilled: list[int] = []
     for c in np.flatnonzero(counts > cap):

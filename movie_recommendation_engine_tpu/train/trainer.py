@@ -164,9 +164,20 @@ class Trainer:
         # kernels (hangs/413 — CLAUDE.md), and off-TPU the kernel would run
         # in interpret mode. MRE_USE_PALLAS=1 forces it for probe runs.
         gi = cfg.model.gather_impl
+        backend = jax.default_backend()
         if gi == "auto":
             force = os.environ.get("MRE_USE_PALLAS") == "1"
-            gi = "pallas" if (jax.default_backend() == "tpu" or force) else "xla"
+            # Force only resolves to pallas on backends where the kernel can
+            # actually run: compiled on a real local TPU, interpret on CPU
+            # (tests). Never on axon — interpret mode would embed the
+            # per-neighbor DMA emulation into the train program, which the
+            # tunnel's remote compiler rejects/stalls on.
+            gi = "pallas" if (backend == "tpu"
+                              or (force and backend == "cpu")) else "xla"
+        elif gi == "pallas" and backend == "axon":
+            self.log.log("gather_impl_downgraded", requested="pallas",
+                         reason="axon tunnel cannot compile Mosaic kernels")
+            gi = "xla"
         pinsage.set_gather_impl(gi)
         if gi != "xla":
             self.log.log("gather_impl", impl=gi)

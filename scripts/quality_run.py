@@ -127,10 +127,9 @@ def main():
         "random": base_random,
         "feature_cosine": base_feat,
         "trained": final,
+        "overrides": args.overrides,
     }
     print(json.dumps(report, indent=2, default=float))
-
-    report["overrides"] = args.overrides
     with open(args.out, "a") as f:
         tag = f", {args.tag}" if args.tag else ""
         f.write(f"\n## Quality run — {time.strftime('%Y-%m-%d %H:%M')} "

@@ -196,6 +196,22 @@ def test_ivf_balance_assignment_invariants():
     np.testing.assert_array_equal(out[under], assign[under])
 
 
+def test_ivf_balance_infeasible_cap_raised_to_floor():
+    """cap * P < N has no feasible assignment; the cap must be raised to
+    ceil(N/P) so every list still honors a real bound (silently leaving
+    rows in an overfull list would break the scan-budget promise)."""
+    rng = np.random.default_rng(6)
+    n, p, d = 503, 10, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cent = rng.standard_normal((p, d)).astype(np.float32)
+    assign = ((x[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+    out = ivf.balance_assignments(x, cent, assign, cap=10)  # 10*10 < 503
+    counts = np.bincount(out, minlength=p)
+    floor = -(-n // p)
+    assert counts.max() <= floor
+    assert counts.sum() == n
+
+
 def test_ivf_search_transient_is_probe_chunked():
     """The candidate gather must be [Q, budget, D] per scan step, never
     [Q, nprobe*budget, D]: search a corpus where the monolithic form would
