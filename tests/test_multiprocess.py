@@ -53,3 +53,30 @@ def test_two_process_sharded_epoch_and_retrieval():
     assert verdict["process_count"] == 2
     assert verdict["global_devices"] == 8
     assert verdict["ok"], verdict
+
+
+def test_distributed_init_is_idempotent(monkeypatch):
+    """The CLI calls distributed_init on every entry and main(argv) may run
+    several commands in one process — initialize() must fire at most once."""
+    from movie_recommendation_engine_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+    monkeypatch.setattr(mesh_mod.jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:9999")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    assert mesh_mod.distributed_init() is True
+    assert mesh_mod.distributed_init() is True
+    assert len(calls) == 1
+
+    # Initialized elsewhere first: the "only be called once" RuntimeError is
+    # treated as already-joined, not a crash.
+    monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+
+    def boom(**kw):
+        raise RuntimeError("jax.distributed.initialize should only be called once.")
+
+    monkeypatch.setattr(mesh_mod.jax.distributed, "initialize", boom)
+    assert mesh_mod.distributed_init() is True
