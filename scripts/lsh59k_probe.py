@@ -1,0 +1,120 @@
+"""Diagnose which full-corpus (59k) LSH scoring program the axon tunnel's
+remote compiler accepts. One VARIANT per process invocation (a wedged sync
+cannot be interrupted in-process — the parent runs each variant under its
+own `timeout`):
+
+    timeout 700 python scripts/lsh59k_probe.py --variant scan
+    timeout 700 python scripts/lsh59k_probe.py --variant unroll
+    timeout 700 python scripts/lsh59k_probe.py --variant einsum
+    timeout 700 python scripts/lsh59k_probe.py --variant popcount
+
+Variants score Q=256 queries against N items (min Hamming over T=16 tables
+of B=256 bits) and top-k:
+  scan     — lax.scan over tables of one [Q,B]x[B,N] matmul (current impl)
+  unroll   — the same 16 matmuls as a flat python loop inside one jit
+  einsum   — "tqb,tnb->tqn" batched form ([T,Q,N] f32 intermediate; hung r2)
+  popcount — packed uint32 XOR + population_count chunk-scan (hung r1)
+
+Prints one JSON line: variant, compile+first-run seconds, steady seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", required=True,
+                    choices=["scan", "unroll", "einsum", "popcount"])
+    ap.add_argument("--items", type=int, default=59_000)
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--tables", type=int, default=16)
+    ap.add_argument("--bits", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--platform", default="default")
+    args = ap.parse_args()
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    print(f"device={jax.devices()[0]} variant={args.variant}", flush=True)
+    rng = np.random.default_rng(0)
+    t, b, n, q, k = args.tables, args.bits, args.items, args.queries, args.k
+
+    if args.variant == "popcount":
+        from movie_recommendation_engine_tpu.retrieval.lsh import _hamming_topk
+
+        w = b // 32
+        sigs = jnp.asarray(rng.integers(0, 2**32, (n, t, w), dtype=np.uint64)
+                           .astype(np.uint32))
+        qsig = sigs[:q]
+        fn = lambda: _hamming_topk(qsig, sigs, k)
+    else:
+        sigs_pm = jnp.asarray(
+            rng.integers(0, 2, (t, n, b)).astype(np.float32) * 2 - 1,
+            jnp.bfloat16)
+        qs_pm = sigs_pm[:, :q, :]
+
+        if args.variant == "scan":
+            from movie_recommendation_engine_tpu.retrieval.lsh import (
+                _hamming_topk_matmul,
+            )
+
+            fn = lambda: _hamming_topk_matmul(qs_pm, sigs_pm, k)
+        elif args.variant == "unroll":
+            @partial(jax.jit, static_argnames=("k",))
+            def unrolled(qsig_pm, sigs_pm, k):
+                best = None
+                for ti in range(qsig_pm.shape[0]):
+                    ip = jnp.dot(qsig_pm[ti], sigs_pm[ti].T,
+                                 preferred_element_type=jnp.float32)
+                    best = ip if best is None else jnp.maximum(best, ip)
+                dist = (qsig_pm.shape[-1] - best) * 0.5
+                neg, idx = jax.lax.top_k(-dist, k)
+                return (-neg).astype(jnp.int32), idx
+
+            fn = lambda: unrolled(qs_pm, sigs_pm, k)
+        else:  # einsum
+            @partial(jax.jit, static_argnames=("k",))
+            def einsum_form(qsig_pm, sigs_pm, k):
+                ip = jnp.einsum("tqb,tnb->qnt", qsig_pm, sigs_pm,
+                                preferred_element_type=jnp.float32)
+                dist = (qsig_pm.shape[-1] - jnp.max(ip, axis=-1)) * 0.5
+                neg, idx = jax.lax.top_k(-dist, k)
+                return (-neg).astype(jnp.int32), idx
+
+            fn = lambda: einsum_form(qs_pm, sigs_pm, k)
+
+    t0 = time.perf_counter()
+    d, i = fn()
+    np.asarray(d); np.asarray(i)  # hard sync (CLAUDE.md)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    d, i = fn()
+    np.asarray(d); np.asarray(i)
+    t_steady = time.perf_counter() - t0
+    ok = bool((np.asarray(i)[:, 0] == np.arange(q)).all())  # self top-1
+    print(json.dumps({
+        "variant": args.variant, "first_s": round(t_first, 1),
+        "steady_s": round(t_steady, 4),
+        "per_query_ms": round(t_steady / q * 1e3, 4),
+        "self_match_top1": ok,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
