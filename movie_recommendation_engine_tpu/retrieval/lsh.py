@@ -149,23 +149,20 @@ def _unpack_pm(sigs: jax.Array) -> jax.Array:
 def _hamming_topk_matmul(qsig_pm: jax.Array, sigs_pm: jax.Array, k: int):
     """MXU Hamming: for +-1 vectors of length B, ham = (B - q.s) / 2.
 
-    ``lax.scan`` over tables of one [Q, B] x [B, N] matmul each with a
-    running max — structurally the same program as exact search (matmul +
-    top_k), which the axon tunnel's remote compiler handles at full-corpus
-    scale. The batched-einsum form ("qtb,ntb->qnt", one [Q, N, T] f32
-    intermediate) hung that compiler at 59k items. Integer dot products
-    (|ip| <= B) accumulate exactly in f32, so results are bit-identical to
-    the popcount form."""
+    An unrolled loop over tables (T is static) of one [Q, B] x [B, N] matmul
+    each with a running max — every op structurally the same program as
+    exact search (one dot + top_k), which the axon tunnel's remote compiler
+    handles at full-corpus scale. Both the batched-einsum form
+    ("qtb,ntb->qnt", one [Q, N, T] f32 intermediate) and a ``lax.scan`` over
+    tables hung that compiler at 59k items (scripts/lsh59k_probe.py isolates
+    the formulations). Integer dot products (|ip| <= B) accumulate exactly
+    in f32, so results are bit-identical to the popcount form."""
     t, n, b = sigs_pm.shape
-    q = qsig_pm.shape[1]                                        # [T, Q, B]
-
-    def body(best, ts):
-        qs, ss = ts
-        ip = jnp.dot(qs, ss.T, preferred_element_type=jnp.float32)  # [Q, N]
-        return jnp.maximum(best, ip), None
-
-    init = jnp.full((q, n), -jnp.inf, jnp.float32)
-    best, _ = jax.lax.scan(body, init, (qsig_pm, sigs_pm))
+    best = None
+    for ti in range(t):                                         # [T, Q, B]
+        ip = jnp.dot(qsig_pm[ti], sigs_pm[ti].T,
+                     preferred_element_type=jnp.float32)        # [Q, N]
+        best = ip if best is None else jnp.maximum(best, ip)
     dist = (b - best) * 0.5                                     # min-ham
     neg, idx = jax.lax.top_k(-dist, k)
     return (-neg).astype(jnp.int32), idx

@@ -70,24 +70,28 @@ def main():
         qs_pm = sigs_pm[:, :q, :]
 
         if args.variant == "scan":
+            @partial(jax.jit, static_argnames=("k",))
+            def scan_form(qsig_pm, sigs_pm, k):
+                def body(best, ts):
+                    qs, ss = ts
+                    ip = jnp.dot(qs, ss.T,
+                                 preferred_element_type=jnp.float32)
+                    return jnp.maximum(best, ip), None
+
+                init = jnp.full((qsig_pm.shape[1], sigs_pm.shape[1]),
+                                -jnp.inf, jnp.float32)
+                best, _ = jax.lax.scan(body, init, (qsig_pm, sigs_pm))
+                dist = (qsig_pm.shape[-1] - best) * 0.5
+                neg, idx = jax.lax.top_k(-dist, k)
+                return (-neg).astype(jnp.int32), idx
+
+            fn = lambda: scan_form(qs_pm, sigs_pm, k)
+        elif args.variant == "unroll":
             from movie_recommendation_engine_tpu.retrieval.lsh import (
                 _hamming_topk_matmul,
             )
 
             fn = lambda: _hamming_topk_matmul(qs_pm, sigs_pm, k)
-        elif args.variant == "unroll":
-            @partial(jax.jit, static_argnames=("k",))
-            def unrolled(qsig_pm, sigs_pm, k):
-                best = None
-                for ti in range(qsig_pm.shape[0]):
-                    ip = jnp.dot(qsig_pm[ti], sigs_pm[ti].T,
-                                 preferred_element_type=jnp.float32)
-                    best = ip if best is None else jnp.maximum(best, ip)
-                dist = (qsig_pm.shape[-1] - best) * 0.5
-                neg, idx = jax.lax.top_k(-dist, k)
-                return (-neg).astype(jnp.int32), idx
-
-            fn = lambda: unrolled(qs_pm, sigs_pm, k)
         else:  # einsum
             @partial(jax.jit, static_argnames=("k",))
             def einsum_form(qsig_pm, sigs_pm, k):
