@@ -197,15 +197,23 @@ def importance_pool(
     wsum = jnp.sum(w, axis=1, keepdims=True)
     w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
     if (impl or _GATHER_IMPL) == "pallas":
-        from ..ops.pallas.pool import gather_pool_ad
+        from ..core.backend import is_tunnel_backend
 
-        # Interpret mode off-TPU (Mosaic kernels only compile for TPU); the
-        # table is cast to ``dtype`` first so the per-row DMAs move half the
-        # bytes, matching the XLA path's cast-before-gather.
-        interpret = jax.default_backend() != "tpu"
-        out = gather_pool_ad(h_table.astype(dtype), nbrs,
-                             w.astype(jnp.float32), limit, 8, interpret)
-        return out.astype(dtype)
+        if is_tunnel_backend():
+            # The tunnel's remote compiler can build neither the Mosaic
+            # kernel nor a sane program around its interpret-mode emulation;
+            # the XLA formulation below is the same math (core/backend.py).
+            pass
+        else:
+            from ..ops.pallas.pool import gather_pool_ad
+
+            # Interpret mode off-TPU (Mosaic kernels only compile for TPU);
+            # the table is cast to ``dtype`` first so the per-row DMAs move
+            # half the bytes, matching the XLA path's cast-before-gather.
+            interpret = jax.default_backend() != "tpu"
+            out = gather_pool_ad(h_table.astype(dtype), nbrs,
+                                 w.astype(jnp.float32), limit, 8, interpret)
+            return out.astype(dtype)
     # Cast the table BEFORE the gather: the [B, K, D] gather (and its
     # backward scatter) dominates step bandwidth; moving bf16 instead of f32
     # halves the bytes (step is HBM-bound — 3.5 GB/step at bench shapes).

@@ -56,10 +56,14 @@ class LSHIndex:
             if os.environ.get("MRE_USE_PALLAS"):
                 use_pallas = os.environ["MRE_USE_PALLAS"] == "1"
             else:
-                # Default on for real TPU backends; off for CPU and for the
-                # experimental 'axon' tunnel backend, whose remote-compile
-                # path cannot build Mosaic kernels (hangs).
-                use_pallas = jax.default_backend() == "tpu"
+                # Default on for real locally-attached TPU backends only.
+                # NOTE: the axon tunnel canonicalizes its platform to "tpu",
+                # so default_backend() alone is NOT a safe signal — it
+                # enabled this kernel through the tunnel in round 2 and
+                # wedged every full-corpus search (core/backend.py).
+                from ..core.backend import pallas_supported
+
+                use_pallas = pallas_supported()
         self.use_pallas = use_pallas
         # Hamming scoring form: "popcount" = packed-bit XOR +
         # lax.population_count (lowest bandwidth; VPU integer ops);
@@ -72,9 +76,9 @@ class LSHIndex:
 
             hamming_impl = os.environ.get("MRE_LSH_IMPL")
             if hamming_impl is None:
-                hamming_impl = (
-                    "matmul" if jax.default_backend() == "axon" else "popcount"
-                )
+                from ..core.backend import is_tunnel_backend
+
+                hamming_impl = "matmul" if is_tunnel_backend() else "popcount"
         if hamming_impl not in ("popcount", "matmul"):
             raise ValueError(f"unknown hamming_impl {hamming_impl!r}")
         self.hamming_impl = hamming_impl

@@ -163,18 +163,21 @@ class Trainer:
         # backend: the axon tunnel's remote compiler cannot build Mosaic
         # kernels (hangs/413 — CLAUDE.md), and off-TPU the kernel would run
         # in interpret mode. MRE_USE_PALLAS=1 forces it for probe runs.
+        from ..core.backend import is_tunnel_backend, pallas_supported
+
         gi = cfg.model.gather_impl
-        backend = jax.default_backend()
         if gi == "auto":
             force = os.environ.get("MRE_USE_PALLAS") == "1"
             # Force only resolves to pallas on backends where the kernel can
             # actually run: compiled on a real local TPU, interpret on CPU
-            # (tests). Never on axon — interpret mode would embed the
-            # per-neighbor DMA emulation into the train program, which the
-            # tunnel's remote compiler rejects/stalls on.
-            gi = "pallas" if (backend == "tpu"
-                              or (force and backend == "cpu")) else "xla"
-        elif gi == "pallas" and backend == "axon":
+            # (tests). Never through the tunnel — its remote compiler cannot
+            # build Mosaic programs (and default_backend() reports "tpu"
+            # there, so pallas_supported() is the only safe gate).
+            gi = "pallas" if (
+                pallas_supported()
+                or (force and jax.default_backend() == "cpu")
+            ) else "xla"
+        elif gi == "pallas" and is_tunnel_backend():
             self.log.log("gather_impl_downgraded", requested="pallas",
                          reason="axon tunnel cannot compile Mosaic kernels")
             gi = "xla"

@@ -228,3 +228,26 @@ def test_ivf_search_transient_is_probe_chunked():
     assert ids.shape == (256, 10)
     # Self-match: each query's own row must be its top hit.
     assert (ids[:, 0] == np.arange(256)).mean() > 0.99
+
+
+def test_tunnel_backend_detection(monkeypatch):
+    """The axon plugin canonicalizes its platform to "tpu", so
+    default_backend() must never be the only Pallas gate (round-2 wedge)."""
+    import jax
+
+    from movie_recommendation_engine_tpu.core import backend as be
+
+    prev = jax.config.jax_platforms
+    try:
+        jax.config.update("jax_platforms", "axon")
+        assert be.is_tunnel_backend()
+        assert not be.pallas_supported()
+
+        jax.config.update("jax_platforms", "cpu")
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")  # env forced, config wins
+        assert not be.is_tunnel_backend()
+
+        jax.config.update("jax_platforms", "")
+        assert be.is_tunnel_backend()  # falls back to the env signal
+    finally:
+        jax.config.update("jax_platforms", prev)
