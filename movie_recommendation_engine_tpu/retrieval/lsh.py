@@ -156,11 +156,14 @@ def _hamming_topk_matmul(qsig_pm: jax.Array, sigs_pm: jax.Array, k: int):
     An unrolled loop over tables (T is static) of one [Q, B] x [B, N] matmul
     each with a running max — every op structurally the same program as
     exact search (one dot + top_k), which the axon tunnel's remote compiler
-    handles at full-corpus scale. Both the batched-einsum form
-    ("qtb,ntb->qnt", one [Q, N, T] f32 intermediate) and a ``lax.scan`` over
-    tables hung that compiler at 59k items (scripts/lsh59k_probe.py isolates
-    the formulations). Integer dot products (|ip| <= B) accumulate exactly
-    in f32, so results are bit-identical to the popcount form."""
+    handles at full-corpus scale; chosen as the lowest-risk tunnel program.
+    (The round-2 full-corpus wedges first blamed on the einsum/scan forms
+    were actually the mis-gated Pallas path — core/backend.py; those forms
+    were never exercised through the tunnel. scripts/lsh59k_probe.py
+    isolates the formulations.) It also avoids the einsum form's [Q, N, T]
+    f32 intermediate (966 MB at 59k). Integer dot products (|ip| <= B)
+    accumulate exactly in f32, so results are bit-identical to the popcount
+    form."""
     t, n, b = sigs_pm.shape
     best = None
     for ti in range(t):                                         # [T, Q, B]
