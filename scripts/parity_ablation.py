@@ -32,10 +32,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# NOTE: standardize only matters when PCA actually runs (raw feature width >
+# feature_dim). The ml1m-scale synthetic corpus has raw width 95, so the
+# standardize arms pin feature_dim=64 on BOTH sides for an apples-to-apples
+# PCA-active comparison; the other variants keep the default 128 (PCA off,
+# matching the recorded quality runs).
 VARIANTS = [
     ("defaults", []),
     ("init=torch_default", ["model.init_style=torch_default"]),
-    ("standardize=true", ["features.standardize=true"]),
+    ("pca64 center-only", ["features.feature_dim=64"]),
+    ("pca64 standardize=true", ["features.feature_dim=64",
+                                "features.standardize=true"]),
     ("loss=curriculum", ["train.loss=curriculum"]),
     ("full reference recipe", [
         "model.init_style=torch_default",
