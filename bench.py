@@ -376,9 +376,9 @@ def main():
 
     # Secondary metrics are OPT-IN (MRE_BENCH_SECONDARY=1): each extra jitted
     # program risks a multi-minute remote-compile stall on the tunnel backend,
-    # and the driver only needs the primary line above. Measured LSH/IVF/walk
-    # numbers live in RESULTS.md (dedicated probe runs:
-    # scripts/retrieval59k_bench.py, scripts/serving59k_bench.py).
+    # and the driver only needs the primary line above. Measured full-corpus
+    # retrieval/serving numbers (exact/LSH/IVF latency + recall, server QPS)
+    # are recorded in RESULTS.md from scripts/serving59k_bench.py runs.
     if os.environ.get("MRE_BENCH_SECONDARY", "0") != "1":
         return
     try:
