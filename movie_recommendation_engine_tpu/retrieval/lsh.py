@@ -121,8 +121,12 @@ class LSHIndex:
         if self.hamming_impl == "matmul":
             if self._sigs_pm is None:  # built before impl switch
                 self._sigs_pm = _unpack_pm(self._sigs)
-            qsig_pm = _unpack_pm(self._signatures(q))
-            return _hamming_topk_matmul(qsig_pm, self._sigs_pm, k)
+            # ONE dispatch end-to-end: query bits never need packing for the
+            # matmul form, so projection -> sign(+-1) -> per-table dots ->
+            # top_k fuse into a single program. Each extra dispatch costs a
+            # full relay round-trip on the tunnel backend (~50 ms); the
+            # 3-program form measured 667 ms serve p50 vs exact's 53 ms.
+            return _lsh_search_matmul(q, self.planes, self._sigs_pm, k)
         qsig = self._signatures(q)
         if self.use_pallas:
             from ..ops.pallas.hamming import hamming_topk
@@ -147,6 +151,25 @@ def _unpack_pm(sigs: jax.Array) -> jax.Array:
     pm = bits.astype(jnp.bfloat16) * 2.0 - 1.0
     n, t, w, _ = pm.shape
     return jnp.moveaxis(pm.reshape(n, t, w * 32), 1, 0)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _lsh_search_matmul(q: jax.Array, planes: jax.Array, sigs_pm: jax.Array,
+                       k: int):
+    """Fused matmul-impl search: project -> sign -> per-table MXU Hamming ->
+    top_k in ONE program. Distances are bit-identical to signing via
+    ``_signatures`` + ``_hamming_topk_matmul`` (same ``proj >= 0``
+    convention); queries skip bit-packing entirely."""
+    t, n, b = sigs_pm.shape
+    best = None
+    for ti in range(t):
+        proj = jnp.dot(q, planes[ti], preferred_element_type=jnp.float32)
+        qs = jnp.where(proj >= 0, 1.0, -1.0).astype(sigs_pm.dtype)  # [Q, B]
+        ip = jnp.dot(qs, sigs_pm[ti].T, preferred_element_type=jnp.float32)
+        best = ip if best is None else jnp.maximum(best, ip)
+    dist = (b - best) * 0.5
+    neg, idx = jax.lax.top_k(-dist, k)
+    return (-neg).astype(jnp.int32), idx
 
 
 @partial(jax.jit, static_argnames=("k",))
