@@ -36,5 +36,9 @@ def is_tunnel_backend() -> bool:
 def pallas_supported() -> bool:
     """True when Pallas/Mosaic kernels can compile for the default backend:
     a real locally-attached TPU. (CPU runs them in interpret mode only —
-    callers that accept interpret must check the backend themselves.)"""
-    return jax.default_backend() == "tpu" and not is_tunnel_backend()
+    callers that accept interpret must check the backend themselves.)
+
+    The tunnel check comes FIRST: ``jax.default_backend()`` initializes the
+    backend registry, and through the relay that means claiming the shared
+    chip — answering "no" must never cost a device claim."""
+    return not is_tunnel_backend() and jax.default_backend() == "tpu"

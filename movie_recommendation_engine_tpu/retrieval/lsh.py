@@ -153,13 +153,24 @@ def _unpack_pm(sigs: jax.Array) -> jax.Array:
     return jnp.moveaxis(pm.reshape(n, t, w * 32), 1, 0)
 
 
+def _min_ham_topk(best_ip: jax.Array, num_bits: int, k: int):
+    """Shared epilogue: best (max) inner product over tables -> min Hamming
+    distance -> top-k. For +-1 vectors of length B, ham = (B - ip) / 2."""
+    dist = (num_bits - best_ip) * 0.5
+    neg, idx = jax.lax.top_k(-dist, k)
+    return (-neg).astype(jnp.int32), idx
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _lsh_search_matmul(q: jax.Array, planes: jax.Array, sigs_pm: jax.Array,
                        k: int):
     """Fused matmul-impl search: project -> sign -> per-table MXU Hamming ->
-    top_k in ONE program. Distances are bit-identical to signing via
-    ``_signatures`` + ``_hamming_topk_matmul`` (same ``proj >= 0``
-    convention); queries skip bit-packing entirely."""
+    top_k in ONE program. Same ``proj >= 0`` sign convention as
+    ``_signatures``; queries skip bit-packing entirely. (Equality with the
+    popcount form holds in tests; a projection within f32 rounding noise of
+    exactly 0.0 could in principle sign differently under a different
+    contraction order, so the guarantee is convention-level, not claimed
+    bit-level across backends.)"""
     t, n, b = sigs_pm.shape
     best = None
     for ti in range(t):
@@ -167,9 +178,7 @@ def _lsh_search_matmul(q: jax.Array, planes: jax.Array, sigs_pm: jax.Array,
         qs = jnp.where(proj >= 0, 1.0, -1.0).astype(sigs_pm.dtype)  # [Q, B]
         ip = jnp.dot(qs, sigs_pm[ti].T, preferred_element_type=jnp.float32)
         best = ip if best is None else jnp.maximum(best, ip)
-    dist = (b - best) * 0.5
-    neg, idx = jax.lax.top_k(-dist, k)
-    return (-neg).astype(jnp.int32), idx
+    return _min_ham_topk(best, b, k)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -193,9 +202,7 @@ def _hamming_topk_matmul(qsig_pm: jax.Array, sigs_pm: jax.Array, k: int):
         ip = jnp.dot(qsig_pm[ti], sigs_pm[ti].T,
                      preferred_element_type=jnp.float32)        # [Q, N]
         best = ip if best is None else jnp.maximum(best, ip)
-    dist = (b - best) * 0.5                                     # min-ham
-    neg, idx = jax.lax.top_k(-dist, k)
-    return (-neg).astype(jnp.int32), idx
+    return _min_ham_topk(best, b, k)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -3,19 +3,24 @@ remote compiler accepts. One VARIANT per process invocation (a wedged sync
 cannot be interrupted in-process — the parent runs each variant under its
 own `timeout`):
 
-    timeout 700 python scripts/lsh59k_probe.py --variant scan
+    timeout 700 python scripts/lsh59k_probe.py --variant fused
     timeout 700 python scripts/lsh59k_probe.py --variant unroll
-    timeout 700 python scripts/lsh59k_probe.py --variant einsum
-    timeout 700 python scripts/lsh59k_probe.py --variant popcount
+    ... (scan | einsum | popcount)
 
 Variants score Q=256 queries against N items (min Hamming over T=16 tables
 of B=256 bits) and top-k:
-  scan     — lax.scan over tables of one [Q,B]x[B,N] matmul (current impl)
-  unroll   — the same 16 matmuls as a flat python loop inside one jit
-  einsum   — "tqb,tnb->tqn" batched form ([T,Q,N] f32 intermediate; hung r2)
-  popcount — packed uint32 XOR + population_count chunk-scan (hung r1)
+  fused    — the PRODUCTION search program (LSHIndex matmul impl): in-program
+             projection -> sign -> unrolled per-table dots -> top_k
+  unroll   — pre-signed +-1 queries, same unrolled dots (the fused program
+             minus the projection prologue)
+  scan     — lax.scan over tables of one [Q,B]x[B,N] matmul
+  einsum   — "tqb,tnb->qnt" batched form ([Q,N,T] f32 intermediate)
+  popcount — packed uint32 XOR + population_count chunk-scan
 
-Prints one JSON line: variant, compile+first-run seconds, steady seconds.
+History: the round-2 full-corpus wedges first blamed on einsum/scan were
+actually the mis-gated Pallas path (core/backend.py); scan/einsum tunnel
+behavior is UNKNOWN, not proven-bad. Prints one JSON line per run: variant,
+compile+first-run seconds, steady seconds.
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
-                    choices=["scan", "unroll", "einsum", "popcount"])
+                    choices=["fused", "scan", "unroll", "einsum", "popcount"])
     ap.add_argument("--items", type=int, default=59_000)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--tables", type=int, default=16)
@@ -55,7 +60,18 @@ def main():
     rng = np.random.default_rng(0)
     t, b, n, q, k = args.tables, args.bits, args.items, args.queries, args.k
 
-    if args.variant == "popcount":
+    if args.variant == "fused":
+        # The real production path: build the index, search through it.
+        from movie_recommendation_engine_tpu.retrieval.lsh import LSHIndex
+
+        emb = rng.standard_normal((n, 128)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        index = LSHIndex(128, num_bits=b, num_tables=t,
+                         hamming_impl="matmul", use_pallas=False)
+        index.build(emb)
+        qv = jnp.asarray(emb[:q])
+        fn = lambda: index.search(qv, k)
+    elif args.variant == "popcount":
         from movie_recommendation_engine_tpu.retrieval.lsh import _hamming_topk
 
         w = b // 32

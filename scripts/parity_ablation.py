@@ -44,8 +44,12 @@ VARIANTS = [
     ("pca64 standardize=true", ["features.feature_dim=64",
                                 "features.standardize=true"]),
     ("loss=curriculum", ["train.loss=curriculum"]),
+    # feature_dim=64 here too: without it standardize=true is a silent no-op
+    # (PCA never runs at raw width 95), and the "full recipe" row would
+    # really be only init+curriculum.
     ("full reference recipe", [
         "model.init_style=torch_default",
+        "features.feature_dim=64",
         "features.standardize=true",
         "train.loss=curriculum",
     ]),
@@ -109,7 +113,19 @@ def main():
     ap.add_argument("--max-pairs", type=int, default=50_000)
     ap.add_argument("--platform", default="default")
     ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--variants", default="",
+                    help="comma list of variant tags to run (default: all). "
+                         "Lets a follow-up TPU run fill in missing arms "
+                         "without re-paying the full queue.")
     args = ap.parse_args()
+
+    variants = VARIANTS
+    if args.variants:
+        wanted = [v.strip() for v in args.variants.split(",") if v.strip()]
+        unknown = set(wanted) - {tag for tag, _ in VARIANTS}
+        if unknown:
+            raise SystemExit(f"unknown variants: {sorted(unknown)}")
+        variants = [(tag, ovr) for tag, ovr in VARIANTS if tag in wanted]
 
     if args.platform != "default":
         import jax
@@ -119,7 +135,7 @@ def main():
 
     print(f"device={jax.devices()[0]}", flush=True)
     results = {}
-    for tag, ovr in VARIANTS:
+    for tag, ovr in variants:
         try:
             results[tag] = run_variant(args, tag, ovr)
         except Exception as e:  # one collapsed variant must not sink the rest
@@ -135,7 +151,7 @@ def main():
                 "individually (identical data/seed/budget; test-pair eval):\n\n")
         f.write("| variant | " + " | ".join(keys) + " |\n")
         f.write("|---|" + "---|" * len(keys) + "\n")
-        for tag, _ in VARIANTS:
+        for tag, _ in variants:
             r = results[tag]
             if "error" in r:
                 f.write(f"| {tag} | failed: {r['error']} " + "| " * (len(keys) - 1) + "|\n")
