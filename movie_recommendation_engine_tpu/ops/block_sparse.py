@@ -169,22 +169,26 @@ def build_block_pool(
     row_kept = np.where(kept, w, 0.0).sum(axis=1, keepdims=True)
     w = np.where(row_kept > 0, w / np.maximum(row_kept, _EPS), 0.0)
 
-    # Flat scatter coordinates for the kept entries.
-    flat = (
-        ((rb[kept].astype(np.int64) * bmax + slot[kept]) * bs
-         + (rows_new[:, None].repeat(k, axis=1)[kept] % bs)) * cs
-        + (cols_new[kept] % cs)
-    )
+    # 2-D scatter coordinates for the kept entries. NOT a single flat index:
+    # r_blocks*bmax*bs*cs reaches 2^31 exactly at 128k rows (256*32*512*512)
+    # and JAX indexing sizes/indices must fit int32 — the [rows, cs] split
+    # keeps both dimensions (<= r_blocks*bmax*bs ~ 4.2M, cs = 512) and every
+    # index comfortably inside int32 at any corpus this fits in HBM for.
+    srow = ((rb[kept].astype(np.int64) * bmax + slot[kept]) * bs
+            + (rows_new[:, None].repeat(k, axis=1)[kept] % bs))
+    scol = cols_new[kept] % cs
     vals = w[kept].astype(np.float32)
 
-    @partial(jax.jit, static_argnames=("size", "dtype"))
-    def scatter(flat_idx, v, size, dtype):
-        a = jnp.zeros((size,), dtype=dtype)
-        return a.at[flat_idx].add(v.astype(dtype))
+    @partial(jax.jit, static_argnames=("rows", "cols", "dtype"))
+    def scatter(ridx, cidx, v, rows, cols, dtype):
+        a = jnp.zeros((rows, cols), dtype=dtype)
+        return a.at[ridx, cidx].add(v.astype(dtype))
 
-    a_flat = scatter(jnp.asarray(flat), jnp.asarray(vals),
-                     size=r_blocks * bmax * bs * cs, dtype=dtype)
-    a_blocks = a_flat.reshape(r_blocks, bmax, bs, cs)
+    a2 = scatter(jnp.asarray(srow, dtype=jnp.int32),
+                 jnp.asarray(scol, dtype=jnp.int32),
+                 jnp.asarray(vals),
+                 rows=r_blocks * bmax * bs, cols=cs, dtype=dtype)
+    a_blocks = a2.reshape(r_blocks, bmax, bs, cs)
 
     perm_pad = np.full(n_pad, n, np.int32)
     perm_pad[:n] = perm.astype(np.int32)

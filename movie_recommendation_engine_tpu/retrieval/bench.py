@@ -38,7 +38,9 @@ def make_index(method: str, dim: int, cfg=None, seed: int = 0):
     if method == "lsh":
         bits = cfg.search.lsh_bits if cfg else 256
         tables = cfg.search.lsh_tables if cfg else 16
-        return LSHIndex(dim, num_bits=bits, num_tables=tables, seed=seed)
+        rerank = cfg.search.lsh_rerank if cfg else 0
+        return LSHIndex(dim, num_bits=bits, num_tables=tables, seed=seed,
+                        rerank=rerank)
     if method == "ivf":
         parts = cfg.search.ivf_partitions if cfg else 100
         factor = cfg.search.ivf_factor if cfg else 0

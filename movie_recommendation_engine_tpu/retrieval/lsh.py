@@ -39,12 +39,19 @@ class LSHIndex:
 
     def __init__(self, dim: int, num_bits: int = 256, num_tables: int = 16,
                  seed: int = 0, use_pallas: bool | None = None,
-                 hamming_impl: str | None = None):
+                 hamming_impl: str | None = None, rerank: int = 0):
         if num_bits % 32:
             raise ValueError("num_bits must be a multiple of 32")
         self.dim = dim
         self.num_bits = num_bits
         self.num_tables = num_tables
+        # rerank > 0: take that many min-Hamming candidates and re-score them
+        # with exact dot products against the stored embeddings (production
+        # shortlist-then-rerank; measured at 59k items the plain Hamming
+        # ranking only reaches recall@10 ~0.38 — RESULTS.md). 0 = off,
+        # matching FAISS IndexLSH semantics (reference
+        # utils/nearest_neighbors.py:47-55).
+        self.rerank = int(rerank)
         key = jax.random.PRNGKey(seed)
         # [T, D, B] hyperplanes.
         self.planes = jax.random.normal(
@@ -84,6 +91,7 @@ class LSHIndex:
         self.hamming_impl = hamming_impl
         self._sigs: jax.Array | None = None
         self._sigs_pm: jax.Array | None = None
+        self._emb: jax.Array | None = None
 
     @property
     def ntotal(self) -> int:
@@ -115,9 +123,17 @@ class LSHIndex:
         self._sigs = self._signatures(x)
         if self.hamming_impl == "matmul":
             self._sigs_pm = _unpack_pm(self._sigs)
+        # Keep the corpus resident only when rerank needs it ([N, D] f32 —
+        # 30 MB at ML-25M scale, dwarfed by the +-1 signature planes).
+        self._emb = x if self.rerank > 0 else None
 
     def search(self, queries, k: int = 10):
+        """Returns (distances [Q, k], indices [Q, k]), ascending. Without
+        rerank, distances are min-table Hamming distances (FAISS-style);
+        with rerank they are negated exact inner products of the re-scored
+        shortlist (same smaller-is-closer convention as ExactIndex)."""
         q = jnp.asarray(queries, dtype=jnp.float32)
+        c = 0 if self._emb is None else min(max(self.rerank, k), self.ntotal)
         if self.hamming_impl == "matmul":
             if self._sigs_pm is None:  # built before impl switch
                 self._sigs_pm = _unpack_pm(self._sigs)
@@ -126,18 +142,25 @@ class LSHIndex:
             # top_k fuse into a single program. Each extra dispatch costs a
             # full relay round-trip on the tunnel backend (~50 ms); the
             # 3-program form measured 667 ms serve p50 vs exact's 53 ms.
+            if c > 0:
+                return _lsh_search_matmul_rerank(
+                    q, self.planes, self._sigs_pm, self._emb, c, k)
             return _lsh_search_matmul(q, self.planes, self._sigs_pm, k)
         qsig = self._signatures(q)
         if self.use_pallas:
             from ..ops.pallas.hamming import hamming_topk
 
             t, w = self.num_tables, self.num_bits // 32
-            return hamming_topk(
+            d, i = hamming_topk(
                 qsig.reshape(qsig.shape[0], t * w),
                 self._sigs.reshape(self._sigs.shape[0], t * w),
-                k, num_tables=t, words=w,
+                max(c, k), num_tables=t, words=w,
             )
-        return _hamming_topk(qsig, self._sigs, k)
+        else:
+            d, i = _hamming_topk(qsig, self._sigs, max(c, k))
+        if c > 0:
+            return _exact_rerank(q, self._emb, i, k)
+        return d, i
 
 
 @jax.jit
@@ -179,6 +202,47 @@ def _lsh_search_matmul(q: jax.Array, planes: jax.Array, sigs_pm: jax.Array,
         ip = jnp.dot(qs, sigs_pm[ti].T, preferred_element_type=jnp.float32)
         best = ip if best is None else jnp.maximum(best, ip)
     return _min_ham_topk(best, b, k)
+
+
+def _rerank_epilogue(q: jax.Array, emb: jax.Array, cand: jax.Array, k: int):
+    """Exact re-scoring of a [Q, C] candidate shortlist: gather the candidate
+    embedding rows and take top-k by true inner product. The gather is tiny
+    ([Q, C, D] — Q*C rows vs the corpus's N), so the whole rerank costs far
+    less than one extra table's Hamming matmul.
+
+    Returns (-inner_product, indices), ascending — every index in this
+    package returns distance-like values where smaller = closer (the server
+    and CLI expose score = -distance)."""
+    ce = jnp.take(emb, cand, axis=0)                      # [Q, C, D]
+    sims = jnp.einsum("qd,qcd->qc", q, ce,
+                      preferred_element_type=jnp.float32)  # [Q, C]
+    s, j = jax.lax.top_k(sims, k)
+    return -s, jnp.take_along_axis(cand, j, axis=1)
+
+
+@partial(jax.jit, static_argnames=("c", "k"))
+def _lsh_search_matmul_rerank(q: jax.Array, planes: jax.Array,
+                              sigs_pm: jax.Array, emb: jax.Array,
+                              c: int, k: int):
+    """Fused shortlist-then-rerank, still ONE program: project -> sign ->
+    per-table MXU Hamming -> top-c shortlist -> exact dot re-rank -> top-k.
+    Returns exact inner-product scores (descending)."""
+    t, n, b = sigs_pm.shape
+    best = None
+    for ti in range(t):
+        proj = jnp.dot(q, planes[ti], preferred_element_type=jnp.float32)
+        qs = jnp.where(proj >= 0, 1.0, -1.0).astype(sigs_pm.dtype)
+        ip = jnp.dot(qs, sigs_pm[ti].T, preferred_element_type=jnp.float32)
+        best = ip if best is None else jnp.maximum(best, ip)
+    _, cand = jax.lax.top_k(best, c)   # max inner product == min Hamming
+    return _rerank_epilogue(q, emb, cand, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _exact_rerank(q: jax.Array, emb: jax.Array, cand: jax.Array, k: int):
+    """Standalone rerank program for the popcount/Pallas paths (their
+    shortlist comes out of a separate Hamming program)."""
+    return _rerank_epilogue(q, emb, cand, k)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -94,6 +94,9 @@ def main():
                          "for recall)")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--skip-index-bench", action="store_true")
+    ap.add_argument("--lsh-rerank", type=int, default=0,
+                    help="re-score this many min-Hamming candidates with "
+                         "exact dots (search.lsh_rerank); 0 = plain Hamming")
     ap.add_argument("--platform", default="default")
     args = ap.parse_args()
 
@@ -110,15 +113,23 @@ def main():
         BatchingRecommender,
     )
 
+    cfg = None
+    if args.lsh_rerank:
+        from movie_recommendation_engine_tpu import default_config
+
+        cfg = default_config()
+        cfg.search.lsh_rerank = args.lsh_rerank
+
     rng = np.random.default_rng(0)
     emb = clustered_embeddings(rng, args.items, args.dim)
-    print(f"device={jax.devices()[0]} corpus={args.items}x{args.dim}",
-          flush=True)
+    print(f"device={jax.devices()[0]} corpus={args.items}x{args.dim}"
+          f" lsh_rerank={args.lsh_rerank}", flush=True)
 
     if not args.skip_index_bench:
         q = emb[rng.choice(args.items, args.queries, replace=False)]
         results = benchmark_search_methods(emb, q, k=args.k,
-                                           methods=args.index_methods)
+                                           methods=args.index_methods,
+                                           cfg=cfg)
         print_benchmark(results, k=args.k)
         summary = {
             m: {
@@ -133,7 +144,7 @@ def main():
     for method in args.methods:
         print(f"\n== server load test: {method} ==", flush=True)
         t0 = time.perf_counter()
-        rec = BatchingRecommender(emb, method=method,
+        rec = BatchingRecommender(emb, method=method, cfg=cfg,
                                   max_batch=args.max_batch, max_wait_ms=2.0,
                                   max_k=max(args.k, 10))
         print(f"build+warmup {time.perf_counter() - t0:.1f}s", flush=True)

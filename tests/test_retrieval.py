@@ -145,6 +145,62 @@ def test_lsh_matmul_impl_matches_popcount():
                     == set(ib[r][db[r] == dist].tolist()))
 
 
+def test_lsh_rerank_improves_recall_and_matches_impls(corpus):
+    """Shortlist-then-rerank: (a) recall@10 must dominate the plain Hamming
+    ranking, (b) matmul (fused one-program) and popcount (two-program) paths
+    must agree on the reranked result, (c) scores are exact inner products
+    in descending order."""
+    x, q = corpus
+    k = 10
+    ex = exact.ExactIndex(x.shape[1]); ex.build(x)
+    _, ei = ex.search(q, k=k)
+    ei = np.asarray(ei)
+
+    def recall(i):
+        i = np.asarray(i)
+        return np.mean([len(set(i[r]) & set(ei[r])) / k
+                        for r in range(q.shape[0])])
+
+    plain = lsh.LSHIndex(x.shape[1], num_bits=128, num_tables=4, seed=0)
+    plain.build(x)
+    _, pi = plain.search(q, k=k)
+
+    rr = lsh.LSHIndex(x.shape[1], num_bits=128, num_tables=4, seed=0,
+                      rerank=100, hamming_impl="popcount")
+    rr.build(x)
+    rs, ri = rr.search(q, k=k)
+    rs, ri = np.asarray(rs), np.asarray(ri)
+    assert recall(ri) >= recall(pi)
+    assert recall(ri) > 0.8  # 100-candidate shortlist on clustered data
+
+    rrm = lsh.LSHIndex(x.shape[1], num_bits=128, num_tables=4, seed=0,
+                       rerank=100, hamming_impl="matmul")
+    rrm.build(x)
+    ms, mi = rrm.search(q, k=k)
+    np.testing.assert_array_equal(ri, np.asarray(mi))
+    np.testing.assert_allclose(rs, np.asarray(ms), rtol=1e-5, atol=1e-5)
+
+    # Distances are negated true inner products, ascending (package-wide
+    # smaller-is-closer convention).
+    assert (np.diff(rs, axis=1) >= -1e-6).all()
+    np.testing.assert_allclose(
+        rs, -np.take_along_axis(q @ x.T, ri, axis=1), rtol=1e-4, atol=1e-5)
+
+
+def test_lsh_rerank_k_exceeds_shortlist(corpus):
+    """rerank smaller than k must degrade gracefully (shortlist = k)."""
+    x, q = corpus
+    idx = lsh.LSHIndex(x.shape[1], num_bits=64, num_tables=2, rerank=3)
+    idx.build(x)
+    s, i = idx.search(q, k=8)
+    assert np.asarray(i).shape == (q.shape[0], 8)
+    # All indices valid and unique per row.
+    i = np.asarray(i)
+    for r in range(q.shape[0]):
+        assert len(set(i[r].tolist())) == 8
+        assert (i[r] >= 0).all() and (i[r] < x.shape[0]).all()
+
+
 def test_ivf_balanced_build_caps_lists():
     """Skewed data (one dominant cluster) must not blow up the scan budget:
     balance_factor caps every inverted list at ~factor x the mean size."""
