@@ -181,12 +181,13 @@ class WeakANDIndex:
         budget = max(self._max_list, 1)
         if self.candidates_factor:
             budget = min(budget, max(k * self.candidates_factor, k))
-        d, local = _ivf_search(
+        # local->original id mapping happens INSIDE the jitted program: each
+        # eager op after it would cost one more relay round-trip (~50 ms)
+        # per single-request search on the tunnel backend.
+        return _ivf_search(
             q, self._emb, self._norm2, self._centroids, self._offsets,
-            nprobe=self.nprobe, max_list=budget, k=k,
+            self._perm, nprobe=self.nprobe, max_list=budget, k=k,
         )
-        ids = jnp.take(self._perm, jnp.maximum(local, 0), mode="clip")
-        return d, jnp.where(local < 0, -1, ids)
 
 
 @partial(jax.jit, static_argnames=("nprobe", "max_list", "k"))
@@ -196,6 +197,7 @@ def _ivf_search(
     norm2: jax.Array,       # [N]
     centroids: jax.Array,   # [P, D]
     offsets: jax.Array,     # [P+1]
+    perm: jax.Array,        # [N] original id per reordered row
     nprobe: int,
     max_list: int,
     k: int,
@@ -243,6 +245,8 @@ def _ivf_search(
     if kk < k:
         dd = jnp.pad(dd, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
-    # FAISS returns -1 ids for missing results.
-    idx = jnp.where(jnp.isfinite(dd), idx, -1)
-    return dd, idx
+    # Map reordered-row ids back to original ids; FAISS returns -1 ids for
+    # missing results.
+    ids = jnp.take(perm, jnp.maximum(idx, 0), mode="clip")
+    ids = jnp.where(jnp.isfinite(dd) & (idx >= 0), ids, -1)
+    return dd, ids
