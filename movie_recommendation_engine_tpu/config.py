@@ -221,9 +221,9 @@ class SearchConfig:
     search_method: str = "exact"       # exact | lsh | ivf | sharded_exact
     lsh_bits: int = 256
     lsh_tables: int = 16
-    # >0: re-score that many min-Hamming candidates with exact dot products
-    # (shortlist-then-rerank; lifts 59k recall@10 from ~0.38 — RESULTS.md).
-    # 0 = plain Hamming ranking, FAISS IndexLSH parity.
+    # >0: re-score that many min-Hamming candidates with exact squared-L2
+    # distances (shortlist-then-rerank; lifts 59k recall@10 from ~0.38 —
+    # RESULTS.md). 0 = plain Hamming ranking, FAISS IndexLSH parity.
     lsh_rerank: int = 0
     ivf_partitions: int = 100
     # Weak-AND candidate cap: >0 bounds each probed list to k * factor

@@ -95,9 +95,13 @@ def benchmark_search_methods(
         index = make_index(method, dim, cfg)
         t_build0 = time.perf_counter()
         index.build(emb)
-        built = getattr(index, "_emb", None)
+        # Sync the LAST artifact the build computes: for LSH that is the
+        # signatures (_emb is the already-resident input and would "sync"
+        # instantly, hiding the async signature scan); exact/IVF build into
+        # _emb. block_until_ready lies on the tunnel backend (CLAUDE.md).
+        built = getattr(index, "_sigs", None)
         if built is None:
-            built = getattr(index, "_sigs", None)
+            built = getattr(index, "_emb", None)
         np.asarray(built[:1])   # hard sync
         build_time = time.perf_counter() - t_build0
         print(f"[bench] {method}: built in {build_time:.1f}s; searching ...",

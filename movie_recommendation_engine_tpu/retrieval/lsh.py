@@ -92,6 +92,7 @@ class LSHIndex:
         self._sigs: jax.Array | None = None
         self._sigs_pm: jax.Array | None = None
         self._emb: jax.Array | None = None
+        self._sqnorm: jax.Array | None = None
 
     @property
     def ntotal(self) -> int:
@@ -123,17 +124,19 @@ class LSHIndex:
         self._sigs = self._signatures(x)
         if self.hamming_impl == "matmul":
             self._sigs_pm = _unpack_pm(self._sigs)
-        # Keep the corpus resident only when rerank needs it ([N, D] f32 —
-        # 30 MB at ML-25M scale, dwarfed by the +-1 signature planes).
-        self._emb = x if self.rerank > 0 else None
+        # Keep the corpus + squared norms resident unconditionally ([N, D]
+        # f32 — 30 MB at ML-25M scale, dwarfed by the +-1 signatures) so
+        # ``rerank`` can be toggled after build, like ``hamming_impl``.
+        self._emb = x
+        self._sqnorm = jnp.sum(x * x, axis=1)
 
     def search(self, queries, k: int = 10):
         """Returns (distances [Q, k], indices [Q, k]), ascending. Without
         rerank, distances are min-table Hamming distances (FAISS-style);
-        with rerank they are negated exact inner products of the re-scored
-        shortlist (same smaller-is-closer convention as ExactIndex)."""
+        with rerank they are squared L2 distances of the re-scored
+        shortlist (exactly ExactIndex's convention)."""
         q = jnp.asarray(queries, dtype=jnp.float32)
-        c = 0 if self._emb is None else min(max(self.rerank, k), self.ntotal)
+        c = 0 if self.rerank <= 0 else min(max(self.rerank, k), self.ntotal)
         if self.hamming_impl == "matmul":
             if self._sigs_pm is None:  # built before impl switch
                 self._sigs_pm = _unpack_pm(self._sigs)
@@ -144,7 +147,8 @@ class LSHIndex:
             # 3-program form measured 667 ms serve p50 vs exact's 53 ms.
             if c > 0:
                 return _lsh_search_matmul_rerank(
-                    q, self.planes, self._sigs_pm, self._emb, c, k)
+                    q, self.planes, self._sigs_pm, self._emb, self._sqnorm,
+                    c, k)
             return _lsh_search_matmul(q, self.planes, self._sigs_pm, k)
         qsig = self._signatures(q)
         if self.use_pallas:
@@ -159,7 +163,7 @@ class LSHIndex:
         else:
             d, i = _hamming_topk(qsig, self._sigs, max(c, k))
         if c > 0:
-            return _exact_rerank(q, self._emb, i, k)
+            return _exact_rerank(q, self._emb, self._sqnorm, i, k)
         return d, i
 
 
@@ -194,55 +198,60 @@ def _lsh_search_matmul(q: jax.Array, planes: jax.Array, sigs_pm: jax.Array,
     exactly 0.0 could in principle sign differently under a different
     contraction order, so the guarantee is convention-level, not claimed
     bit-level across backends.)"""
-    t, n, b = sigs_pm.shape
+    return _min_ham_topk(_best_table_ip(q, planes, sigs_pm),
+                         sigs_pm.shape[2], k)
+
+
+def _best_table_ip(q: jax.Array, planes: jax.Array,
+                   sigs_pm: jax.Array) -> jax.Array:
+    """[Q, N] best (max) ±1 inner product across tables: project each query
+    onto every table's hyperplanes, sign to ±1, one MXU dot per table
+    (unrolled — T is small and static), running max. Shared by the plain and
+    rerank fused searches so the sign convention can never diverge."""
+    t = sigs_pm.shape[0]
     best = None
     for ti in range(t):
         proj = jnp.dot(q, planes[ti], preferred_element_type=jnp.float32)
         qs = jnp.where(proj >= 0, 1.0, -1.0).astype(sigs_pm.dtype)  # [Q, B]
         ip = jnp.dot(qs, sigs_pm[ti].T, preferred_element_type=jnp.float32)
         best = ip if best is None else jnp.maximum(best, ip)
-    return _min_ham_topk(best, b, k)
+    return best
 
 
-def _rerank_epilogue(q: jax.Array, emb: jax.Array, cand: jax.Array, k: int):
+def _rerank_epilogue(q: jax.Array, emb: jax.Array, sqnorm: jax.Array,
+                     cand: jax.Array, k: int):
     """Exact re-scoring of a [Q, C] candidate shortlist: gather the candidate
-    embedding rows and take top-k by true inner product. The gather is tiny
+    embedding rows and take top-k by squared L2 distance — the identical
+    ||q||^2 + ||x||^2 - 2 q.x expansion ExactIndex uses, so reranked results
+    agree with exact search even on non-unit-norm corpora. The gather is tiny
     ([Q, C, D] — Q*C rows vs the corpus's N), so the whole rerank costs far
-    less than one extra table's Hamming matmul.
-
-    Returns (-inner_product, indices), ascending — every index in this
-    package returns distance-like values where smaller = closer (the server
-    and CLI expose score = -distance)."""
+    less than one extra table's Hamming matmul."""
     ce = jnp.take(emb, cand, axis=0)                      # [Q, C, D]
-    sims = jnp.einsum("qd,qcd->qc", q, ce,
-                      preferred_element_type=jnp.float32)  # [Q, C]
-    s, j = jax.lax.top_k(sims, k)
-    return -s, jnp.take_along_axis(cand, j, axis=1)
+    ip = jnp.einsum("qd,qcd->qc", q, ce,
+                    preferred_element_type=jnp.float32)    # [Q, C]
+    dist = (jnp.sum(q * q, axis=1, keepdims=True)
+            + jnp.take(sqnorm, cand) - 2.0 * ip)
+    neg, j = jax.lax.top_k(-dist, k)
+    return -neg, jnp.take_along_axis(cand, j, axis=1)
 
 
 @partial(jax.jit, static_argnames=("c", "k"))
 def _lsh_search_matmul_rerank(q: jax.Array, planes: jax.Array,
                               sigs_pm: jax.Array, emb: jax.Array,
-                              c: int, k: int):
+                              sqnorm: jax.Array, c: int, k: int):
     """Fused shortlist-then-rerank, still ONE program: project -> sign ->
-    per-table MXU Hamming -> top-c shortlist -> exact dot re-rank -> top-k.
-    Returns exact inner-product scores (descending)."""
-    t, n, b = sigs_pm.shape
-    best = None
-    for ti in range(t):
-        proj = jnp.dot(q, planes[ti], preferred_element_type=jnp.float32)
-        qs = jnp.where(proj >= 0, 1.0, -1.0).astype(sigs_pm.dtype)
-        ip = jnp.dot(qs, sigs_pm[ti].T, preferred_element_type=jnp.float32)
-        best = ip if best is None else jnp.maximum(best, ip)
+    per-table MXU Hamming -> top-c shortlist -> exact L2 re-rank -> top-k."""
+    best = _best_table_ip(q, planes, sigs_pm)
     _, cand = jax.lax.top_k(best, c)   # max inner product == min Hamming
-    return _rerank_epilogue(q, emb, cand, k)
+    return _rerank_epilogue(q, emb, sqnorm, cand, k)
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _exact_rerank(q: jax.Array, emb: jax.Array, cand: jax.Array, k: int):
+def _exact_rerank(q: jax.Array, emb: jax.Array, sqnorm: jax.Array,
+                  cand: jax.Array, k: int):
     """Standalone rerank program for the popcount/Pallas paths (their
     shortlist comes out of a separate Hamming program)."""
-    return _rerank_epilogue(q, emb, cand, k)
+    return _rerank_epilogue(q, emb, sqnorm, cand, k)
 
 
 @partial(jax.jit, static_argnames=("k",))

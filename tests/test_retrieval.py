@@ -180,11 +180,18 @@ def test_lsh_rerank_improves_recall_and_matches_impls(corpus):
     np.testing.assert_array_equal(ri, np.asarray(mi))
     np.testing.assert_allclose(rs, np.asarray(ms), rtol=1e-5, atol=1e-5)
 
-    # Distances are negated true inner products, ascending (package-wide
-    # smaller-is-closer convention).
+    # Distances are true squared L2 (ExactIndex's expansion), ascending.
     assert (np.diff(rs, axis=1) >= -1e-6).all()
-    np.testing.assert_allclose(
-        rs, -np.take_along_axis(q @ x.T, ri, axis=1), rtol=1e-4, atol=1e-5)
+    true_d2 = ((q[:, None, :] - x[np.asarray(ri)]) ** 2).sum(-1)
+    np.testing.assert_allclose(rs, true_d2, rtol=1e-3, atol=1e-4)
+
+    # rerank toggles after build, both directions (like hamming_impl).
+    rrm.rerank = 0
+    pd, _ = rrm.search(q, k=k)
+    assert np.asarray(pd).dtype == np.int32  # plain Hamming distances
+    plain.rerank = 100
+    ts, ti = plain.search(q, k=k)
+    np.testing.assert_array_equal(np.asarray(ti), ri)
 
 
 def test_lsh_rerank_k_exceeds_shortlist(corpus):
