@@ -83,19 +83,35 @@ class ModelConfig:
     # matrix instead of L — the memory that matters at ML-25M scale) and the
     # cheap batch-restricted gather for the final layer; "gather" keeps the
     # gather form everywhere (O(N*K) memory — required for very large
-    # corpora); "block" tiles the full-graph pooling matrices into clustered
-    # [bs, cs] blocks (ops/block_sparse.py) — O(N * max_blocks * bs) memory,
-    # MXU matmuls, the >64k-row path; "auto" picks dense <=
-    # dense_pool_max_rows rows, hybrid <= dense_pool_hybrid_max_rows, block
-    # above that (gather remains the fallback for non-importance aggregators
-    # / single-layer models).
+    # corpora); "hub" factors each full-graph pooling matrix into a dense
+    # [N, head] slab over the top-mass hub columns + a per-row top-R sparse
+    # residual (ops/hub_pool.py) — O(N * head) memory, the >64k-row path
+    # (measured: drops 0.5% of pooling mass where the best block tiling
+    # dropped 9.7%, scripts/block_order_probe.py); "block" tiles the
+    # matrices into clustered [bs, cs] blocks (ops/block_sparse.py);
+    # "auto" picks dense <= dense_pool_max_rows rows, hybrid <=
+    # dense_pool_hybrid_max_rows, hub above that, falling back hub -> block
+    # -> gather when a form would drop too much pooling weight.
     pool_impl: str = "auto"
     dense_pool_max_rows: int = 32768
     dense_pool_hybrid_max_rows: int = 65536
+    # Hub pooling shape knobs (pool_impl="hub"/auto-at-scale).
+    # head: dense head columns (by pooling mass). 0 = auto-scale with the
+    # corpus — clip(N/8, 4096, 16384); measured dropped mass at
+    # residual=8: 0.5% @ 16k/head4096, 0.7% @ 59k/head8192
+    # (scripts/block_order_probe.py) vs 6.2% with a fixed 4096 head at 59k.
+    hub_pool_head: int = 0
+    hub_pool_residual: int = 8           # per-row top non-head entries kept
     # Block-sparse pooling shape knobs (pool_impl="block"/auto-at-scale).
     block_pool_block_size: int = 512
     block_pool_max_blocks: int = 32      # col blocks kept per row block
     block_pool_clusters: int = 0         # 0 = auto (~N/256, capped 4096)
+    # Node ordering for the tiling: "mass" sorts by total pooling weight
+    # per column (concentrates the hub columns every row needs into the
+    # leading blocks — measured dropped mass 0.031 at 59k vs 0.373 for
+    # feature k-means, scripts/block_order_probe.py); "feature" is the
+    # legacy content-k-means order.
+    block_pool_order: str = "mass"
     # Fall back to gather pooling when the clustered tiling would drop more
     # than this fraction of total pooling weight (graph has no community
     # structure the clustering can exploit).

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.block_sparse import BlockPool, block_pool_matmul
+from ..ops.hub_pool import HubPool, hub_pool_matmul
 from . import aggregators
 
 Params = dict[str, Any]
@@ -40,8 +41,11 @@ def _pool_apply(pm, h: jax.Array, dtype) -> jax.Array:
     """Full-graph pooling through either dense-matrix or block-sparse form.
 
     ``pm`` is a per-layer pooling operator: a dense [N, N] array (MXU matmul
-    — corpora whose A fits HBM) or an ops.block_sparse.BlockPool (clustered
-    [bs, cs] tiles — the >64k-row regime where [N, N] doesn't fit)."""
+    — corpora whose A fits HBM), an ops.hub_pool.HubPool (dense hub head +
+    sparse residual — the >64k-row regime where [N, N] doesn't fit), or an
+    ops.block_sparse.BlockPool (clustered [bs, cs] tiles)."""
+    if isinstance(pm, HubPool):
+        return hub_pool_matmul(pm, h, dtype=dtype)
     if isinstance(pm, BlockPool):
         return block_pool_matmul(pm, h, dtype=dtype)
     return jnp.dot(pm.astype(dtype), h.astype(dtype),
@@ -487,9 +491,9 @@ def pooled_forward_batch(
     last = convs[-1]
     li = len(convs) - 1
     h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
-    if li < len(pool_mats) and isinstance(pool_mats[li], BlockPool):
-        # No cheap batch-row slab of a block pool; pool the full graph and
-        # take the batch rows (block pools are normally prefix-only).
+    if li < len(pool_mats) and isinstance(pool_mats[li], (BlockPool, HubPool)):
+        # No cheap batch-row slab of a block/hub pool; pool the full graph
+        # and take the batch rows (these pools are normally prefix-only).
         h_neigh = jnp.take(_pool_apply(pool_mats[li], h, dtype),
                            batch_nodes, axis=0, mode="clip")
     elif li < len(pool_mats):

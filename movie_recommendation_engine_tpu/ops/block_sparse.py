@@ -102,6 +102,30 @@ def cluster_permutation(
     return np.argsort(rank[assign], kind="stable").astype(np.int32)
 
 
+def mass_permutation(
+    nbrs: np.ndarray,      # [N, K] neighbor ids (sentinel >= limit)
+    weights: np.ndarray,   # [N, K] f32
+    valid_limit: int | None = None,
+) -> np.ndarray:
+    """Node order by descending total pooling mass per column. On power-law
+    graphs the hub columns every row block needs land in the leading blocks
+    (which the per-row-block top-``bmax`` selection then keeps), instead of
+    being scattered across content clusters — measured dropped mass 0.031
+    at 59k vs 0.373 for the feature-k-means order
+    (scripts/block_order_probe.py)."""
+    nbrs = np.asarray(nbrs)
+    weights = np.asarray(weights, np.float32)
+    n = nbrs.shape[0]
+    limit = n if valid_limit is None else min(valid_limit, n)
+    valid = nbrs < limit
+    w = np.where(valid, weights, 0.0)
+    wsum = w.sum(axis=1, keepdims=True)
+    w = np.where(wsum > 0, w / np.maximum(wsum, _EPS), 0.0)
+    col_mass = np.bincount(np.clip(nbrs, 0, n - 1).reshape(-1),
+                           weights=w.reshape(-1), minlength=n)
+    return np.argsort(-col_mass, kind="stable").astype(np.int32)
+
+
 def build_block_pool(
     nbrs: np.ndarray,      # [N, K] int32/64 neighbor ids (sentinel >= limit)
     weights: np.ndarray,   # [N, K] f32

@@ -1,0 +1,154 @@
+"""Hub-factorized importance pooling: dense head + sparse residual.
+
+The >64k-row pooling path, superseding block tiling on power-law graphs.
+Pooling is ``out = A @ h`` with A row-stochastic, K (~50) nonzeros per row
+(reference model/pinsage.py:101-150, hot loop #3 in SURVEY.md §3). Measured
+structure of A on MovieLens-shaped graphs (scripts/block_order_probe.py):
+
+- Column mass is extremely heavy-tailed: the walk visit counts concentrate
+  on popularity hubs, so the top ~4k columns carry ~90% of total pooling
+  weight at any corpus size.
+- The remaining per-row mass concentrates in each row's few heaviest
+  personal neighbors — but those columns are *diffuse* across the corpus
+  (block tilings can't capture them: the best 512-tile ordering still
+  dropped 9.7% of mass where this factorization drops 0.45%).
+
+So factor A = A_head + A_res:
+
+    a_head [N, H]  — dense slab over the top-H mass columns (H ~ 4096):
+                     one MXU matmul a_head @ h[head_ids], O(N*H) memory —
+                     1 GB bf16 at 128k rows vs the 32 GB [N, N] full matrix.
+    res    [N, R]  — each row's R heaviest non-head neighbors in the same
+                     padded id/weight table format as gather pooling:
+                     one tiny [N, R, D] gather.
+
+Rows are renormalized over their kept entries (head + top-R residual), the
+same filter-then-renormalize contract importance pooling applies to invalid
+neighbors; the builder reports ``dropped_mass`` (the weight beyond both
+parts — 0.5% at H=4096, R=8 on the 16k probe) so callers can fall back.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-12
+
+
+class HubPool(NamedTuple):
+    """Pytree of device arrays (all leaves traced through jit)."""
+
+    a_head: jax.Array    # [N, H] head pooling weights (compute dtype)
+    head_ids: jax.Array  # [H] int32 table row id of each head column
+    res_nbrs: jax.Array  # [N, R] int32 residual neighbor ids (clipped gather)
+    res_w: jax.Array     # [N, R] f32 residual weights (0 = padding)
+
+
+def build_hub_pool(
+    nbrs: np.ndarray,      # [N, K] int neighbor ids (sentinel >= limit)
+    weights: np.ndarray,   # [N, K] f32
+    valid_limit: int | None = None,
+    head: int = 4096,
+    residual: int = 8,
+    dtype=jnp.bfloat16,
+) -> tuple[HubPool, dict]:
+    """Factor the pooling matrix. Host-side index math (vectorized numpy),
+    one 2-D device scatter into the bf16 head slab (no f32 intermediate,
+    like dense_pool_matrix_direct).
+
+    Returns (HubPool, stats) with ``dropped_mass`` = fraction of total
+    pooling weight outside head + per-row top-``residual`` (0.0 = exact)."""
+    nbrs = np.asarray(nbrs)
+    weights = np.asarray(weights, np.float32)
+    n, k = nbrs.shape
+    if head <= 0:
+        # Auto-scale with the corpus (config.ModelConfig.hub_pool_head):
+        # a fixed 4096 head drops 6.2% of mass at 59k; N/8 keeps the drop
+        # under ~1% through the measured range, capped for HBM.
+        head = min(max(4096, n // 8), 16384)
+    h = int(min(head, n))
+    r = int(min(residual, k))
+
+    limit = n if valid_limit is None else min(valid_limit, n)
+    valid = nbrs < limit
+    w = np.where(valid, weights, 0.0)
+    wsum = w.sum(axis=1, keepdims=True)
+    w = np.where(wsum > 0, w / np.maximum(wsum, _EPS), 0.0)
+
+    cols = np.clip(nbrs, 0, n - 1)
+    col_mass = np.bincount(cols.reshape(-1), weights=w.reshape(-1),
+                           minlength=n)
+    head_ids = np.argsort(-col_mass, kind="stable")[:h].astype(np.int32)
+    head_pos = np.full(n, -1, np.int64)
+    head_pos[head_ids] = np.arange(h)
+
+    in_head = (head_pos[cols] >= 0) & (w > 0)
+    w_tail = np.where(~in_head & (w > 0), w, 0.0)
+    # Per-row top-r residual entries (lightest tail beyond r is dropped).
+    if r > 0:
+        res_slot = np.argsort(-w_tail, axis=1, kind="stable")[:, :r]  # [N, r]
+        res_w = np.take_along_axis(w_tail, res_slot, axis=1)
+        res_ids = np.take_along_axis(cols, res_slot, axis=1).astype(np.int32)
+        res_ids = np.where(res_w > 0, res_ids, 0)
+    else:
+        res_w = np.zeros((n, 1), np.float32)
+        res_ids = np.zeros((n, 1), np.int32)
+
+    total = float(w.sum())
+    kept = float(w[in_head].sum()) + float(res_w.sum())
+    dropped = 1.0 - kept / total if total > 0 else 0.0
+
+    # Renormalize each row over its kept entries (head + residual).
+    row_kept = (np.where(in_head, w, 0.0).sum(axis=1, keepdims=True)
+                + res_w.sum(axis=1, keepdims=True))
+    scale = np.where(row_kept > 0, 1.0 / np.maximum(row_kept, _EPS), 0.0)
+    w_head = np.where(in_head, w, 0.0) * scale
+    res_w = (res_w * scale).astype(np.float32)
+
+    # 2-D scatter of head entries into the [N, H] slab (both dims and every
+    # index far inside int32 — see block_sparse.build_block_pool).
+    rows = np.repeat(np.arange(n, dtype=np.int64), k).reshape(n, k)[in_head]
+    hcols = head_pos[cols][in_head]
+    vals = w_head[in_head].astype(np.float32)
+
+    @partial(jax.jit, static_argnames=("rows_n", "cols_n", "dtype"))
+    def scatter(ridx, cidx, v, rows_n, cols_n, dtype):
+        a = jnp.zeros((rows_n, cols_n), dtype=dtype)
+        return a.at[ridx, cidx].add(v.astype(dtype))
+
+    a_head = scatter(jnp.asarray(rows, jnp.int32), jnp.asarray(hcols, jnp.int32),
+                     jnp.asarray(vals), rows_n=n, cols_n=h, dtype=dtype)
+
+    hp = HubPool(
+        a_head=a_head,
+        head_ids=jnp.asarray(head_ids),
+        res_nbrs=jnp.asarray(res_ids),
+        res_w=jnp.asarray(res_w),
+    )
+    stats = {
+        "dropped_mass": dropped,
+        "head_cols": h,
+        "residual_per_row": r,
+        "a_bytes": n * h * a_head.dtype.itemsize,
+        "head_mass": float(w[in_head].sum()) / total if total > 0 else 0.0,
+    }
+    return hp, stats
+
+
+def hub_pool_matmul(hp: HubPool, h: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """``A @ h`` through the hub factorization: one [N, H] x [H, D] MXU
+    matmul over the head columns plus one [N, R, D] gather for the residual.
+    Jit-traceable; AD gives the exact backward (head: transposed matmul;
+    residual: scatter-add from the gather's VJP)."""
+    h_head = jnp.take(h.astype(dtype), hp.head_ids, axis=0)       # [H, D]
+    out = jnp.dot(hp.a_head.astype(dtype), h_head,
+                  preferred_element_type=jnp.float32)             # [N, D] f32
+    ce = jnp.take(h.astype(dtype), hp.res_nbrs, axis=0, mode="clip")
+    res = jnp.einsum("nr,nrd->nd", hp.res_w, ce.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return (out + res).astype(dtype)

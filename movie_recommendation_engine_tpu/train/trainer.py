@@ -274,6 +274,7 @@ class Trainer:
         # matrix does, and it removes the step-dominating full-graph gather.
         self.pool_mats = ()
         n_dense = 0
+        n_hub = 0
         n_block = 0
         impl = cfg.model.pool_impl
         n_layers = cfg.model.num_layers
@@ -292,21 +293,74 @@ class Trainer:
                     and self.table_rows <= cfg.model.dense_pool_hybrid_max_rows)
             ):
                 n_dense = n_layers - 1
-            elif n_layers > 1 and impl in ("block", "auto"):
-                # The >64k regime: [N, N] no longer fits HBM; tile the
-                # full-graph pooling into clustered blocks (block_sparse.py).
-                n_block = n_layers - 1
+            elif n_layers > 1 and impl in ("hub", "block", "auto"):
+                # The >64k regime: [N, N] no longer fits HBM. auto prefers
+                # the hub factorization (dense head + sparse residual,
+                # ops/hub_pool.py) and falls back to block tiling, then
+                # gather, when a form would drop too much pooling weight.
+                if impl == "block":
+                    n_block = n_layers - 1
+                else:
+                    n_hub = n_layers - 1
+        if n_hub:
+            from ..ops import hub_pool as hub_mod
+
+            pool_dtype = {
+                "bfloat16": jnp.bfloat16,
+                "float8_e4m3fn": jnp.float8_e4m3fn,
+            }[cfg.model.pool_matrix_dtype]
+            mats = []
+            for nbrs, w in tables[:n_hub]:
+                hp, stats = hub_mod.build_hub_pool(
+                    np.asarray(nbrs), np.asarray(w),
+                    valid_limit=self.valid_limit,
+                    head=cfg.model.hub_pool_head,
+                    residual=cfg.model.hub_pool_residual,
+                )
+                self.log.log("hub_pool", **stats)
+                if stats["dropped_mass"] > cfg.model.block_pool_max_dropped_mass:
+                    # Mass not hub-concentrated enough; auto tries the
+                    # clustered block tiling next, then gather.
+                    self.log.log("hub_pool_fallback",
+                                 dropped_mass=stats["dropped_mass"])
+                    mats = []
+                    if impl == "auto":
+                        n_block = n_hub
+                    break
+                if hp.a_head.dtype != pool_dtype:
+                    hp = hp._replace(a_head=_cast_matrix(hp.a_head, pool_dtype))
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    repl = NamedSharding(self.mesh, P())
+                    hp = hp._replace(
+                        a_head=jax.device_put(hp.a_head, self._row_sharding),
+                        head_ids=jax.device_put(hp.head_ids, repl),
+                        res_nbrs=jax.device_put(hp.res_nbrs, self._row_sharding),
+                        res_w=jax.device_put(hp.res_w, self._row_sharding),
+                    )
+                mats.append(hp)
+            if mats:
+                self.pool_mats = tuple(mats)
+                return
         if n_block:
             from ..ops import block_sparse as bsp
 
             if self._block_perm is None:
                 t0 = time.perf_counter()
-                self._block_perm = bsp.cluster_permutation(
-                    np.asarray(self.x_table),
-                    num_clusters=cfg.model.block_pool_clusters,
-                    seed=cfg.train.seed,
-                )
+                if cfg.model.block_pool_order == "mass":
+                    self._block_perm = bsp.mass_permutation(
+                        np.asarray(tables[0][0]), np.asarray(tables[0][1]),
+                        valid_limit=self.valid_limit,
+                    )
+                else:  # "feature": legacy content-k-means order
+                    self._block_perm = bsp.cluster_permutation(
+                        np.asarray(self.x_table),
+                        num_clusters=cfg.model.block_pool_clusters,
+                        seed=cfg.train.seed,
+                    )
                 self.log.log("block_cluster",
+                             order=cfg.model.block_pool_order,
                              seconds=time.perf_counter() - t0)
             pool_dtype = {
                 "bfloat16": jnp.bfloat16,

@@ -94,6 +94,19 @@ def test_block_pool_gradients_flow():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_mass_permutation_is_permutation_and_hubs_lead():
+    n, k = 400, 6
+    rng = np.random.default_rng(7)
+    # One hub column (id 123) appears in half of all rows with high weight.
+    nbrs = rng.integers(0, n, (n, k)).astype(np.int32)
+    nbrs[::2, 0] = 123
+    w = rng.random((n, k)).astype(np.float32)
+    w[::2, 0] = 10.0
+    perm = bsp.mass_permutation(nbrs, w, valid_limit=n)
+    assert sorted(perm.tolist()) == list(range(n))
+    assert perm[0] == 123  # the hub leads the order
+
+
 def test_cluster_permutation_is_permutation():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((500, 12)).astype(np.float32)
