@@ -64,7 +64,9 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS):
     train/trainer.py uses for corpora <= dense_pool_max_rows — measured ~50x
     faster on TPU than the irregular row gather). pool="hybrid": ONE [N, N]
     matrix for the full-graph layer + batch gather for the final layer (the
-    trainer's ML-25M-scale configuration). pool="gather": the [B,K,D] gather
+    trainer's ML-25M-scale configuration). pool="hub": the full-graph layer
+    through the hub factorization (dense top-mass head + sparse residual,
+    ops/hub_pool.py — the >64k-row path). pool="gather": the [B,K,D] gather
     form (the very-large-corpus fallback)."""
     import jax
     import jax.numpy as jnp
@@ -79,7 +81,17 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS):
     xj = jnp.asarray(x)
     nbrs_j = tuple(jnp.asarray(n) for n in nbrs)
     w_j = tuple(jnp.asarray(w) for w in weights)
-    if pool in ("dense", "hybrid"):
+    if pool == "hub":
+        from movie_recommendation_engine_tpu.ops.hub_pool import build_hub_pool
+
+        mats = []
+        for n, w in zip(nbrs[:-1], weights[:-1]):
+            hp, stats = build_hub_pool(n, w, valid_limit=num_movies)
+            print(f"hub pool: {stats}", file=sys.stderr)
+            mats.append(hp)
+        pool_mats = tuple(mats)
+        jax.block_until_ready(pool_mats)
+    elif pool in ("dense", "hybrid"):
         n_mats = len(nbrs_j) if pool == "dense" else len(nbrs_j) - 1
         pool_mats = tuple(
             pinsage.build_pool_matrix(n, w, num_cols=num_movies)
@@ -308,21 +320,29 @@ HBM_GBPS = 819.0              # TPU v5e peak HBM bandwidth (roofline basis)
 
 
 def bench_at_scale():
-    """The ML-25M-scale figure (59k rows, hybrid pooling — the trainer's
-    auto-selected config there) plus its HBM roofline: the hybrid step is
-    bandwidth-bound on reading the [N, N] bf16 pool matrix twice per step
-    (A @ h forward, A^T @ g backward)."""
+    """The ML-25M-scale figure (59k rows) plus its HBM roofline.
+    MRE_BENCH_AT_SCALE_POOL selects the full-graph-layer pooling form
+    (default hybrid — one [N, N] bf16 matrix; "hub" = the dense-head +
+    sparse-residual factorization, ops/hub_pool.py)."""
+    pool = os.environ.get("MRE_BENCH_AT_SCALE_POOL", "hybrid")
     x, nbrs, weights, _ = _setup_numpy(seed=2, num_movies=AT_SCALE_MOVIES)
     exps, _loss = bench_tpu(x, nbrs, weights, np.random.default_rng(2),
-                            pool="hybrid", steps=AT_SCALE_STEPS)
+                            pool=pool, steps=AT_SCALE_STEPS)
     step_ms = BATCH / exps * 1e3
-    # Dominant traffic per step: the [N, N] bf16 matrix read forward AND
-    # backward. (Activations/tables are ~1% of that at this scale.)
-    bytes_per_step = 2 * AT_SCALE_MOVIES * AT_SCALE_MOVIES * 2
+    # Roofline basis: the hybrid step is bandwidth-bound on reading the
+    # [N, N] bf16 pool matrix forward AND backward; for hub the dominant
+    # traffic is the head slab (fwd+bwd) + the residual row gather (fwd +
+    # scatter-add bwd). (Activations/tables are ~1% at this scale.)
+    if pool == "hub":
+        head = min(max(4096, AT_SCALE_MOVIES // 8), 16384)
+        bytes_per_step = (2 * AT_SCALE_MOVIES * head * 2
+                          + 2 * AT_SCALE_MOVIES * 8 * HIDDEN * 2)
+    else:
+        bytes_per_step = 2 * AT_SCALE_MOVIES * AT_SCALE_MOVIES * 2
     roofline_ms = bytes_per_step / (HBM_GBPS * 1e9) * 1e3
     return {
         "num_movies": AT_SCALE_MOVIES,
-        "pool": "hybrid",
+        "pool": pool,
         "examples_per_sec_per_chip": round(exps, 1),
         "step_ms": round(step_ms, 2),
         "bytes_per_step": bytes_per_step,
