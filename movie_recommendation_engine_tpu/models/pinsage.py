@@ -45,7 +45,7 @@ def _pool_apply(pm, h: jax.Array, dtype) -> jax.Array:
     sparse residual — the >64k-row regime where [N, N] doesn't fit), or an
     ops.block_sparse.BlockPool (clustered [bs, cs] tiles)."""
     if isinstance(pm, HubPool):
-        return hub_pool_matmul(pm, h, dtype=dtype)
+        return hub_pool_matmul(pm, h, dtype=dtype, gather_impl=_GATHER_IMPL)
     if isinstance(pm, BlockPool):
         return block_pool_matmul(pm, h, dtype=dtype)
     return jnp.dot(pm.astype(dtype), h.astype(dtype),

@@ -140,15 +140,32 @@ def build_hub_pool(
     return hp, stats
 
 
-def hub_pool_matmul(hp: HubPool, h: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+def hub_pool_matmul(hp: HubPool, h: jax.Array, dtype=jnp.bfloat16,
+                    gather_impl: str = "xla") -> jax.Array:
     """``A @ h`` through the hub factorization: one [N, H] x [H, D] MXU
     matmul over the head columns plus one [N, R, D] gather for the residual.
     Jit-traceable; AD gives the exact backward (head: transposed matmul;
-    residual: scatter-add from the gather's VJP)."""
+    residual: scatter-add from the gather's VJP).
+
+    ``gather_impl="pallas"`` streams the residual rows through the fused
+    DMA-gather kernel (ops/pallas/pool.py) on backends where Mosaic
+    compiles; weights are NOT renormalized by either path (the builder
+    already renormalized jointly across head + residual)."""
     h_head = jnp.take(h.astype(dtype), hp.head_ids, axis=0)       # [H, D]
     out = jnp.dot(hp.a_head.astype(dtype), h_head,
                   preferred_element_type=jnp.float32)             # [N, D] f32
-    ce = jnp.take(h.astype(dtype), hp.res_nbrs, axis=0, mode="clip")
-    res = jnp.einsum("nr,nrd->nd", hp.res_w, ce.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
+    res = None
+    if gather_impl == "pallas":
+        from ..core.backend import is_tunnel_backend
+
+        if not is_tunnel_backend():
+            from .pallas.pool import gather_pool_ad
+
+            interpret = jax.default_backend() != "tpu"
+            res = gather_pool_ad(h.astype(dtype), hp.res_nbrs, hp.res_w,
+                                 int(h.shape[0]), 8, interpret)
+    if res is None:
+        ce = jnp.take(h.astype(dtype), hp.res_nbrs, axis=0, mode="clip")
+        res = jnp.einsum("nr,nrd->nd", hp.res_w, ce.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
     return (out + res).astype(dtype)

@@ -85,6 +85,26 @@ def test_hub_pool_drop_renormalizes():
     np.testing.assert_allclose(row_sum[nz], 1.0, atol=1e-4)
 
 
+def test_hub_pool_pallas_residual_matches_xla():
+    """gather_impl=pallas (interpret mode off-TPU) must reproduce the XLA
+    residual path bit-for-near-bit, forward and backward."""
+    n, d = 96, 8
+    nbrs, w, h = _tables(n=n, k=5, d=d, seed=6)
+    hp, _ = hub.build_hub_pool(nbrs, w, valid_limit=n, head=16, residual=3,
+                               dtype=jnp.float32)
+    hj = jnp.asarray(h)
+    a = hub.hub_pool_matmul(hp, hj, dtype=jnp.float32, gather_impl="xla")
+    b = hub.hub_pool_matmul(hp, hj, dtype=jnp.float32, gather_impl="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+    ga = jax.grad(lambda x: jnp.sum(
+        hub.hub_pool_matmul(hp, x, jnp.float32, "xla") ** 2))(hj)
+    gb = jax.grad(lambda x: jnp.sum(
+        hub.hub_pool_matmul(hp, x, jnp.float32, "pallas") ** 2))(hj)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_hub_pool_gradients_flow():
     n, d = 128, 8
     nbrs, w, h = _tables(n=n, k=5, d=d, seed=4)
