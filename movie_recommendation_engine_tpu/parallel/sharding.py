@@ -112,6 +112,8 @@ def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
     def tree_shard(tree, sharding):
         return jax.tree_util.tree_map(lambda _: sharding, tree)
 
+    pool_shard = _pool_mat_sharding(mesh, rep, row)
+
     def shardings_for(params, opt_state, nbrs_l, w_l, pool_mats=()):
         in_shardings = (
             tree_shard(params, rep),
@@ -119,7 +121,7 @@ def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
             row,                                   # x_table
             tuple(row for _ in nbrs_l),            # nbr tables
             tuple(row for _ in w_l),               # weight tables
-            tuple(row for _ in pool_mats),         # dense pool matrices
+            tuple(pool_shard(m) for m in pool_mats),  # pooling operators
             dat, dat,                              # q, p
             rep,                                   # rand_negs (shared pool)
             dat2,                                  # hard_negs
@@ -155,12 +157,35 @@ def sharded_embed_fn(mesh: Mesh, scfg: ShardedStepConfig):
             aggregator=scfg.aggregator, pool_mats=pool_mats,
         )
 
+    pool_shard = _pool_mat_sharding(mesh, rep, row)
+
     def compile_embed(params, nbrs_l, w_l, pool_mats=()):
         in_sh = (
             jax.tree_util.tree_map(lambda _: rep, params),
             row, tuple(row for _ in nbrs_l), tuple(row for _ in w_l),
-            tuple(row for _ in pool_mats),
+            tuple(pool_shard(m) for m in pool_mats),
         )
         return jax.jit(embed, in_shardings=in_sh, out_shardings=row)
 
     return compile_embed
+
+
+def _pool_mat_sharding(mesh: Mesh, rep, row):
+    """Per-operator in_shardings for a pooling operand: dense [N, N] arrays
+    row-shard directly; HubPool/BlockPool pytrees shard their table-row-
+    indexed leaves over the model axis and replicate the small index
+    vectors (a blanket rank-2 spec would reject 1-D leaves like head_ids)."""
+    from ..ops.block_sparse import BlockPool
+    from ..ops.hub_pool import HubPool
+
+    row4 = NamedSharding(mesh, P("model", None, None, None))
+
+    def pool_shard(pm):
+        if isinstance(pm, HubPool):
+            return HubPool(a_head=row, head_ids=rep,
+                           res_nbrs=row, res_w=row)
+        if isinstance(pm, BlockPool):
+            return BlockPool(a_blocks=row4, col_idx=row, perm=rep, inv=rep)
+        return row
+
+    return pool_shard

@@ -63,6 +63,21 @@ def test_mesh_trainer_hybrid_pooling(cfg_data, tmp_path):
     assert cos.min() > 0.999
 
 
+def test_mesh_trainer_hub_pooling(cfg_data, tmp_path):
+    """Hub pooling under a mesh (a_head + residual tables row-sharded over
+    the model axis) matches the unsharded gather trainer."""
+    cfg, data = cfg_data
+    cfg_h = cfg.override({
+        "model.hub_pool_head": 100_000,   # cover everything: exact
+        "model.hub_pool_residual": 64,
+    })
+    loss_g, emb_g = _fit(cfg, data, tmp_path / "i", None, False, "gather")
+    loss_h, emb_h = _fit(cfg_h, data, tmp_path / "j", (2, 4), True, "hub")
+    assert abs(loss_g - loss_h) < 1e-3
+    cos = (emb_g * emb_h).sum(axis=1)
+    assert cos.min() > 0.999
+
+
 def test_mesh_trainer_block_pooling(cfg_data, tmp_path):
     """Block-sparse pooling under a mesh (a_blocks row-sharded over the
     model axis when divisible) matches the unsharded gather trainer."""
