@@ -59,7 +59,7 @@ def _setup_numpy(seed=0, num_movies=NUM_MOVIES):
     return x, nbrs, weights, rng
 
 
-def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS):
+def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=3):
     """pool="dense": importance pooling as an [N, N] bf16 MXU matmul (what
     train/trainer.py uses for corpora <= dense_pool_max_rows — measured ~50x
     faster on TPU than the irregular row gather). pool="hybrid": ONE [N, N]
@@ -162,25 +162,33 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS):
         )
         return q, p, rn, hn
 
-    # Warmup output params/opt feed the timed call — inputs are donated.
+    # Warmup output params/opt feed the timed calls — inputs are donated.
     params, opt_state, loss = run_steps(
         params, opt_state, xj, nbrs_j, w_j, pool_mats, *blocks(steps))
     _ = np.asarray(loss)   # absorb compile; force true materialization
 
-    # Generate and UPLOAD the timed call's inputs before t0: host-side RNG
-    # plus the ~2 MB host->device transfer over the tunnel would otherwise
-    # pollute the device throughput measurement. np.asarray round-trips each
-    # buffer through the host — a compile-free hard sync on this backend.
-    blk = blocks(steps)
-    for b in blk:
-        np.asarray(b)
-
-    t0 = time.perf_counter()
-    params, opt_state, loss = run_steps(
-        params, opt_state, xj, nbrs_j, w_j, pool_mats, *blk)
-    loss_host = np.asarray(loss)   # host materialization = hard sync
-    dt = time.perf_counter() - t0
-    return BATCH * steps / dt, float(loss_host[-1])
+    # Repeat the timed block: the program is already compiled, so each rep
+    # costs only device time, and the median + spread separate a real
+    # regression from tunnel noise (round 2's 279k-vs-335k primary mystery
+    # spanned 20% with no variance bound recorded anywhere).
+    rep_exps = []
+    loss_host = None
+    for _rep in range(reps):
+        # Generate and UPLOAD this rep's inputs before t0: host-side RNG
+        # plus the ~2 MB host->device transfer over the tunnel would
+        # otherwise pollute the device throughput measurement. np.asarray
+        # round-trips each buffer through the host — a compile-free hard
+        # sync on this backend.
+        blk = blocks(steps)
+        for b in blk:
+            np.asarray(b)
+        t0 = time.perf_counter()
+        params, opt_state, loss = run_steps(
+            params, opt_state, xj, nbrs_j, w_j, pool_mats, *blk)
+        loss_host = np.asarray(loss)   # host materialization = hard sync
+        dt = time.perf_counter() - t0
+        rep_exps.append(BATCH * steps / dt)
+    return rep_exps, float(loss_host[-1])
 
 
 def bench_torch_baseline(x, nbrs, weights, rng, steps=6):
@@ -319,6 +327,21 @@ AT_SCALE_STEPS = 40
 HBM_GBPS = 819.0              # TPU v5e peak HBM bandwidth (roofline basis)
 
 
+def _variance(rep_exps):
+    """Median + spread over same-process repeats of the compiled program.
+    Regression discipline (BASELINE.md): compare MEDIANS across runs, and
+    treat a drop as real only when it exceeds the larger run's spread_pct
+    (observed tunnel spread is a few percent; round-2's unexplained 20%
+    primary swing was single-shot runs with no such bound)."""
+    med = float(np.median(rep_exps))
+    return med, {
+        "reps": len(rep_exps),
+        "min": round(min(rep_exps), 1),
+        "max": round(max(rep_exps), 1),
+        "spread_pct": round((max(rep_exps) - min(rep_exps)) / med * 100, 1),
+    }
+
+
 def bench_at_scale():
     """The ML-25M-scale figure (59k rows) plus its HBM roofline.
     MRE_BENCH_AT_SCALE_POOL selects the full-graph-layer pooling form
@@ -326,17 +349,27 @@ def bench_at_scale():
     sparse-residual factorization, ops/hub_pool.py)."""
     pool = os.environ.get("MRE_BENCH_AT_SCALE_POOL", "hybrid")
     x, nbrs, weights, _ = _setup_numpy(seed=2, num_movies=AT_SCALE_MOVIES)
-    exps, _loss = bench_tpu(x, nbrs, weights, np.random.default_rng(2),
-                            pool=pool, steps=AT_SCALE_STEPS)
+    rep_exps, _loss = bench_tpu(x, nbrs, weights, np.random.default_rng(2),
+                                pool=pool, steps=AT_SCALE_STEPS)
+    exps, var = _variance(rep_exps)
     step_ms = BATCH / exps * 1e3
     # Roofline basis: the hybrid step is bandwidth-bound on reading the
     # [N, N] bf16 pool matrix forward AND backward; for hub the dominant
     # traffic is the head slab (fwd+bwd) + the residual row gather (fwd +
     # scatter-add bwd). (Activations/tables are ~1% at this scale.)
     if pool == "hub":
-        head = min(max(4096, AT_SCALE_MOVIES // 8), 16384)
+        from movie_recommendation_engine_tpu import default_config
+        from movie_recommendation_engine_tpu.ops.hub_pool import auto_head
+
+        # Same formula/knobs the builder uses (ops/hub_pool.auto_head +
+        # config defaults) so the roofline can't drift from the measured
+        # configuration if auto-scaling changes.
+        mcfg = default_config().model
+        head = (mcfg.hub_pool_head if mcfg.hub_pool_head > 0
+                else auto_head(AT_SCALE_MOVIES))
+        residual = mcfg.hub_pool_residual
         bytes_per_step = (2 * AT_SCALE_MOVIES * head * 2
-                          + 2 * AT_SCALE_MOVIES * 8 * HIDDEN * 2)
+                          + 2 * AT_SCALE_MOVIES * residual * HIDDEN * 2)
     else:
         bytes_per_step = 2 * AT_SCALE_MOVIES * AT_SCALE_MOVIES * 2
     roofline_ms = bytes_per_step / (HBM_GBPS * 1e9) * 1e3
@@ -344,6 +377,7 @@ def bench_at_scale():
         "num_movies": AT_SCALE_MOVIES,
         "pool": pool,
         "examples_per_sec_per_chip": round(exps, 1),
+        "variance": var,
         "step_ms": round(step_ms, 2),
         "bytes_per_step": bytes_per_step,
         "roofline_ms": round(roofline_ms, 2),
@@ -359,8 +393,10 @@ def main():
     print(f"baseline: {baseline:.1f} examples/s", file=sys.stderr)
 
     print("benchmarking TPU train step ...", file=sys.stderr)
-    ours, loss = bench_tpu(x, nbrs, weights, np.random.default_rng(1))
-    print(f"tpu: {ours:.1f} examples/s (loss {loss:.4f})", file=sys.stderr)
+    rep_exps, loss = bench_tpu(x, nbrs, weights, np.random.default_rng(1))
+    ours, var = _variance(rep_exps)
+    print(f"tpu: {ours:.1f} examples/s median of {rep_exps} "
+          f"(loss {loss:.4f})", file=sys.stderr)
 
     # PRIMARY line first — the at-scale/secondary phases must never delay or
     # sink it (a stall there would otherwise lose the whole bench).
@@ -369,6 +405,7 @@ def main():
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(ours / baseline, 2),
+        "variance": var,
     }
     print(json.dumps(line), flush=True)
 
@@ -382,11 +419,19 @@ def main():
     if os.environ.get("MRE_BENCH_AT_SCALE", "1") == "1":
         import threading
 
-        watchdog = threading.Timer(1500.0, lambda: os._exit(0))
+        def _watchdog_fire():
+            # Attributable exit: without this marker a wedged tunnel run is
+            # indistinguishable from MRE_BENCH_AT_SCALE=0 or a clean finish.
+            print("at-scale bench WATCHDOG: timed out after 1500s "
+                  "(tunnel wedge?) — exiting with primary line only",
+                  file=sys.stderr, flush=True)
+            os._exit(0)
+
+        watchdog = threading.Timer(1500.0, _watchdog_fire)
         watchdog.daemon = True
         watchdog.start()
         try:
-            print("benchmarking at-scale (59k hybrid) ...", file=sys.stderr)
+            print("benchmarking at-scale (59k) ...", file=sys.stderr)
             line["at_scale"] = bench_at_scale()
             print(f"at_scale: {line['at_scale']}", file=sys.stderr)
             print(json.dumps(line), flush=True)

@@ -102,6 +102,11 @@ class ModelConfig:
     # (scripts/block_order_probe.py) vs 6.2% with a fixed 4096 head at 59k.
     hub_pool_head: int = 0
     hub_pool_residual: int = 8           # per-row top non-head entries kept
+    # Fall back (hub -> block under auto, else gather) when the hub
+    # factorization would drop more than this fraction of pooling weight.
+    # Negative = inherit block_pool_max_dropped_mass (one shared threshold
+    # governs every lossy pooling form unless tuned separately).
+    hub_pool_max_dropped_mass: float = -1.0
     # Block-sparse pooling shape knobs (pool_impl="block"/auto-at-scale).
     block_pool_block_size: int = 512
     block_pool_max_blocks: int = 32      # col blocks kept per row block

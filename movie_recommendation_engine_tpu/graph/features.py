@@ -8,9 +8,10 @@ Semantics match reference ``data/feature_extractor.py:21-198``:
 - hstack -> reorder by movie index -> StandardScaler -> PCA to feature_dim (:89-102)
 
 TF-IDF runs host-side (sklearn when available, an in-repo vectorizer
-otherwise). Standardize+PCA run **on device** as a JAX covariance
-eigendecomposition — the matmuls land on the MXU, replacing sklearn's
-LAPACK path.
+otherwise). Standardize+PCA also run host-side in numpy (``numpy.linalg.eigh``
+on the covariance): eigh through the axon TPU tunnel hangs (CLAUDE.md), the
+covariance build is a one-off [F, F] matmul too small to matter on the MXU,
+and a host eigendecomposition keeps the whole feature pipeline backendless.
 
 Also provides the dummy visual-feature generator
 (feature_extractor.py:200-220) and the simple genre+year-dummies variant
@@ -127,13 +128,15 @@ def standardize_pca(features: np.ndarray, out_dim: int, seed: int = 0,
                     standardize: bool = True) -> np.ndarray:
     """[StandardScaler +] PCA (feature_extractor.py:89-102 semantics).
 
-    ``standardize=True`` reproduces the reference exactly (per-column
-    scale to unit variance before PCA). In practice that step *destroys* the
-    content signal: it equalizes the informative low-cardinality genre
-    columns with hundreds of near-constant noisy TF-IDF columns, and the top
-    principal components end up noise-dominated (measured: HR@10 of feature
-    cosine drops ~3x on structured data). The pipeline therefore defaults to
-    center-only PCA (``standardize=False``) via FeatureConfig.standardize.
+    ``standardize=True`` reproduces the reference exactly (per-column scale
+    to unit variance before PCA). Measured effects cut both ways: on raw
+    feature-cosine retrieval it equalizes informative genre columns with
+    near-constant TF-IDF noise columns (HR@10 of feature cosine drops ~3x on
+    structured synthetic data), but on *trained* ml1m quality with PCA active
+    it slightly helps (HR@10 0.0485 -> 0.0532, RESULTS.md ablation
+    2026-08-20). Default stays center-only (``standardize=False``,
+    FeatureConfig.standardize) for the retrieval-robustness reason; enabling
+    it is worth trying whenever feature_dim < raw width.
 
     One-time host-side featurization: the eigendecomposition runs in numpy
     (LAPACK) because the experimental TPU tunnel backend mishandles eigh; the

@@ -147,14 +147,17 @@ def importance_transform_aggregate(params, h_table, nbrs, weights,
 
 
 def aggregate(kind, params, h_table, nbrs, weights, self_feats=None,
-              valid_limit=None, dtype=jnp.bfloat16):
+              valid_limit=None, dtype=jnp.bfloat16, gather_impl=None):
     """Dispatch honoring AGGREGATOR_TYPE (config.py:23). "importance" is the
     plain importance pooling used by the wired PinSage model
-    (model/pinsage.py:94-150)."""
+    (model/pinsage.py:94-150). ``gather_impl`` ("xla"/"pallas"/None=module
+    default) selects the importance-pool gather implementation; the other
+    aggregators are XLA-only."""
     if kind == "importance":
         from .pinsage import importance_pool
 
-        return importance_pool(h_table, nbrs, weights, valid_limit, dtype)
+        return importance_pool(h_table, nbrs, weights, valid_limit, dtype,
+                               impl=gather_impl)
     if kind == "mean":
         return mean_aggregate(h_table, nbrs, valid_limit, dtype)
     if kind == "weighted":

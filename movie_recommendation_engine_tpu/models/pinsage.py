@@ -37,7 +37,7 @@ from . import aggregators
 Params = dict[str, Any]
 
 
-def _pool_apply(pm, h: jax.Array, dtype) -> jax.Array:
+def _pool_apply(pm, h: jax.Array, dtype, gather_impl: str | None = None) -> jax.Array:
     """Full-graph pooling through either dense-matrix or block-sparse form.
 
     ``pm`` is a per-layer pooling operator: a dense [N, N] array (MXU matmul
@@ -45,7 +45,8 @@ def _pool_apply(pm, h: jax.Array, dtype) -> jax.Array:
     sparse residual — the >64k-row regime where [N, N] doesn't fit), or an
     ops.block_sparse.BlockPool (clustered [bs, cs] tiles)."""
     if isinstance(pm, HubPool):
-        return hub_pool_matmul(pm, h, dtype=dtype, gather_impl=_GATHER_IMPL)
+        return hub_pool_matmul(pm, h, dtype=dtype,
+                               gather_impl=gather_impl or _GATHER_IMPL)
     if isinstance(pm, BlockPool):
         return block_pool_matmul(pm, h, dtype=dtype)
     return jnp.dot(pm.astype(dtype), h.astype(dtype),
@@ -164,10 +165,12 @@ def mlp_forward(params: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 # Gather-form pooling implementation: "xla" (gather + einsum) or "pallas"
 # (fused DMA-gather kernel, ops/pallas/pool.py — gathered rows live only in
-# VMEM instead of a round-tripped [B, K, D] HBM tensor). Module-level because
-# it is a host-side dispatch choice, not part of the math; set once by the
-# Trainer from config.model.gather_impl (with backend gating — the axon
-# tunnel cannot remote-compile Mosaic kernels, CLAUDE.md).
+# VMEM instead of a round-tripped [B, K, D] HBM tensor). The Trainer resolves
+# config.model.gather_impl (with backend gating — the axon tunnel cannot
+# remote-compile Mosaic kernels, CLAUDE.md) and THREADS it through the
+# forward functions as the ``gather_impl`` argument; this module-level
+# default only backs callers that don't pass one (it is process-global, so
+# two Trainers with different configs must not share it — hence threading).
 _GATHER_IMPL = "xla"
 
 
@@ -420,6 +423,7 @@ def pooled_forward(
     dropout_rng: jax.Array | None = None,
     aggregator: str = "importance",
     pool_mats: tuple | list = (),
+    gather_impl: str | None = None,
 ) -> jax.Array:
     """Full-graph forward: embeddings for every row of ``x_table``.
 
@@ -437,13 +441,14 @@ def pooled_forward(
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
     for i, conv in enumerate(convs):
         if i < len(pool_mats):
-            h_neigh = _pool_apply(pool_mats[i], h, dtype)
+            h_neigh = _pool_apply(pool_mats[i], h, dtype, gather_impl)
         else:
             nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
             w = layer_weights[min(i, len(layer_weights) - 1)]
             h_neigh = aggregators.aggregate(
                 aggregator, conv.get("agg"), h, nbrs, w,
                 self_feats=h, valid_limit=valid_limit, dtype=dtype,
+                gather_impl=gather_impl,
             ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
         if i < len(convs) - 1:
@@ -463,6 +468,7 @@ def pooled_forward_batch(
     dropout_rng: jax.Array | None = None,
     aggregator: str = "importance",
     pool_mats: tuple | list = (),
+    gather_impl: str | None = None,
 ) -> jax.Array:
     """Training-step forward: layers 0..L-2 run full-graph (their outputs are
     the gather table for the next layer); only the final conv + output proj
@@ -478,13 +484,14 @@ def pooled_forward_batch(
     h = jax.nn.relu(linear(params["input_proj"], x_table, dtype))
     for i, conv in enumerate(convs[:-1]):
         if i < len(pool_mats):
-            h_neigh = _pool_apply(pool_mats[i], h, dtype)
+            h_neigh = _pool_apply(pool_mats[i], h, dtype, gather_impl)
         else:
             nbrs = layer_neighbors[min(i, len(layer_neighbors) - 1)]
             w = layer_weights[min(i, len(layer_weights) - 1)]
             h_neigh = aggregators.aggregate(
                 aggregator, conv.get("agg"), h, nbrs, w,
                 self_feats=h, valid_limit=valid_limit, dtype=dtype,
+                gather_impl=gather_impl,
             ).astype(dtype)
         h = _conv_block(conv, h, h_neigh, dtype)
         h, dropout_rng = _dropout(h, dropout_rate, dropout_rng)
@@ -494,7 +501,7 @@ def pooled_forward_batch(
     if li < len(pool_mats) and isinstance(pool_mats[li], (BlockPool, HubPool)):
         # No cheap batch-row slab of a block/hub pool; pool the full graph
         # and take the batch rows (these pools are normally prefix-only).
-        h_neigh = jnp.take(_pool_apply(pool_mats[li], h, dtype),
+        h_neigh = jnp.take(_pool_apply(pool_mats[li], h, dtype, gather_impl),
                            batch_nodes, axis=0, mode="clip")
     elif li < len(pool_mats):
         a_batch = jnp.take(pool_mats[li], batch_nodes, axis=0, mode="clip")
@@ -508,6 +515,7 @@ def pooled_forward_batch(
         h_neigh = aggregators.aggregate(
             aggregator, last.get("agg"), h, bn, bw,
             self_feats=h_batch, valid_limit=valid_limit, dtype=dtype,
+            gather_impl=gather_impl,
         ).astype(dtype)
     h_out = _conv_block(last, h_batch, h_neigh, dtype)
     return l2_normalize(linear(params["output_proj"], h_out, dtype).astype(jnp.float32))

@@ -40,6 +40,14 @@ import numpy as np
 _EPS = 1e-12
 
 
+def auto_head(n: int) -> int:
+    """Head width used when ``head <= 0`` (config.ModelConfig.hub_pool_head):
+    a fixed 4096 head drops 6.2% of mass at 59k rows; N/8 keeps the drop
+    under ~1% through the measured range, capped for HBM. Single source of
+    truth — bench.py's roofline model must use the same formula."""
+    return min(max(4096, n // 8), 16384)
+
+
 class HubPool(NamedTuple):
     """Pytree of device arrays (all leaves traced through jit)."""
 
@@ -67,10 +75,7 @@ def build_hub_pool(
     weights = np.asarray(weights, np.float32)
     n, k = nbrs.shape
     if head <= 0:
-        # Auto-scale with the corpus (config.ModelConfig.hub_pool_head):
-        # a fixed 4096 head drops 6.2% of mass at 59k; N/8 keeps the drop
-        # under ~1% through the measured range, capped for HBM.
-        head = min(max(4096, n // 8), 16384)
+        head = auto_head(n)
     h = int(min(head, n))
     r = int(min(residual, k))
 
@@ -134,7 +139,10 @@ def build_hub_pool(
         "dropped_mass": dropped,
         "head_cols": h,
         "residual_per_row": r,
-        "a_bytes": n * h * a_head.dtype.itemsize,
+        # Bytes of the slab AS BUILT (bf16). The trainer may cast it to
+        # pool_matrix_dtype=float8 afterwards, halving the resident size —
+        # named _built so the log is not mistaken for the final footprint.
+        "a_bytes_built": n * h * a_head.dtype.itemsize,
         "head_mass": float(w[in_head].sum()) / total if total > 0 else 0.0,
     }
     return hp, stats

@@ -84,6 +84,10 @@ def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
                     valid_limit=scfg.valid_limit, dtype=scfg.dtype,
                     aggregator=scfg.aggregator,
                     pool_mats=pool_mats,
+                    # Always XLA under a mesh: pl.pallas_call has no SPMD
+                    # partitioning rule, so it cannot trace with row-sharded
+                    # operands (the partitioner would replicate the table).
+                    gather_impl="xla",
                 )
             q_emb, p_emb = emb[:b], emb[b : 2 * b]
             r_emb = emb[2 * b : 2 * b + r]
@@ -155,6 +159,7 @@ def sharded_embed_fn(mesh: Mesh, scfg: ShardedStepConfig):
             params, x_table, list(nbrs_l), list(w_l),
             valid_limit=scfg.valid_limit, dtype=scfg.dtype,
             aggregator=scfg.aggregator, pool_mats=pool_mats,
+            gather_impl="xla",  # no SPMD rule for pallas_call (see step)
         )
 
     pool_shard = _pool_mat_sharding(mesh, rep, row)

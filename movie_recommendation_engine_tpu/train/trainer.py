@@ -166,22 +166,32 @@ class Trainer:
         from ..core.backend import is_tunnel_backend, pallas_supported
 
         gi = cfg.model.gather_impl
+        mesh_active = cfg.mesh.mesh_shape is not None
         if gi == "auto":
             force = os.environ.get("MRE_USE_PALLAS") == "1"
             # Force only resolves to pallas on backends where the kernel can
             # actually run: compiled on a real local TPU, interpret on CPU
             # (tests). Never through the tunnel — its remote compiler cannot
             # build Mosaic programs (and default_backend() reports "tpu"
-            # there, so pallas_supported() is the only safe gate).
+            # there, so pallas_supported() is the only safe gate). Never
+            # under a mesh either: pl.pallas_call has no SPMD partitioning
+            # rule, so tracing it with row-sharded operands either fails to
+            # partition or silently all-gathers the full table per chip.
             gi = "pallas" if (
-                pallas_supported()
-                or (force and jax.default_backend() == "cpu")
+                not mesh_active
+                and (pallas_supported()
+                     or (force and jax.default_backend() == "cpu"))
             ) else "xla"
-        elif gi == "pallas" and is_tunnel_backend():
-            self.log.log("gather_impl_downgraded", requested="pallas",
-                         reason="axon tunnel cannot compile Mosaic kernels")
+        elif gi == "pallas" and (is_tunnel_backend() or mesh_active):
+            self.log.log(
+                "gather_impl_downgraded", requested="pallas",
+                reason=("pallas_call has no SPMD partitioning rule (mesh)"
+                        if mesh_active
+                        else "axon tunnel cannot compile Mosaic kernels"))
             gi = "xla"
-        pinsage.set_gather_impl(gi)
+        # Threaded through every forward call (not module-global state: a
+        # second Trainer in the same process must not clobber this one).
+        self.gather_impl = gi
         if gi != "xla":
             self.log.log("gather_impl", impl=gi)
 
@@ -318,7 +328,10 @@ class Trainer:
                     residual=cfg.model.hub_pool_residual,
                 )
                 self.log.log("hub_pool", **stats)
-                if stats["dropped_mass"] > cfg.model.block_pool_max_dropped_mass:
+                hub_cap = (cfg.model.hub_pool_max_dropped_mass
+                           if cfg.model.hub_pool_max_dropped_mass >= 0
+                           else cfg.model.block_pool_max_dropped_mass)
+                if stats["dropped_mass"] > hub_cap:
                     # Mass not hub-concentrated enough; auto tries the
                     # clustered block tiling next, then gather.
                     self.log.log("hub_pool_fallback",
@@ -501,6 +514,7 @@ class Trainer:
                         dropout_rate=cfg.model.dropout, dropout_rng=k_drop,
                         aggregator=cfg.model.aggregator_type,
                         pool_mats=pool_mats,
+                        gather_impl=self.gather_impl,
                     )
                 q_emb, p_emb = emb[:b], emb[b : 2 * b]
                 r_emb = emb[2 * b : 2 * b + num_rand]
@@ -662,6 +676,7 @@ class Trainer:
                 valid_limit=self.valid_limit, dtype=self.compute_dtype,
                 aggregator=self.cfg.model.aggregator_type,
                 pool_mats=pool_mats,
+                gather_impl=self.gather_impl,
             )
         return emb[: self.data.num_movies]
 

@@ -24,6 +24,10 @@ SCALES = {
     # (num_movies, num_users, num_rating_draws) — draws dedup to ~1/3.
     "ml100k": (800, 2000, 100_000),
     "ml1m": (3700, 6000, 1_000_000),
+    # Mid-scale rung for the ground-truth side-by-side (VERDICT r2 #4): the
+    # largest corpus the reference's Python loops complete in tractable CPU
+    # time on this 2-vCPU host (ml25m-scale was impractical there).
+    "ml10m": (16_000, 48_000, 3_000_000),
     "ml25m": (59_000, 162_000, 8_000_000),
 }
 

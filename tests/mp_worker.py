@@ -145,16 +145,19 @@ def main() -> int:
     exact = np.argsort(-(queries @ emb_local.T), axis=1)[:, :5]
     retrieval_match = bool((idx == exact).all())
 
-    if pid == 0:
-        print(json.dumps({
-            "process_count": jax.process_count(),
-            "global_devices": len(devices),
-            "mesh": {k: int(v) for k, v in mesh.shape.items()},
-            "sharded_losses": sharded_losses,
-            "loss_err_vs_local": loss_err,
-            "retrieval_match": retrieval_match,
-            "ok": bool(loss_err < 1e-4 and retrieval_match),
-        }), flush=True)
+    # EVERY process prints its verdict (not just rank 0): the test parses
+    # all of them and asserts the cross-process psum produced identical
+    # losses on both sides — a silently diverging rank 1 must fail the test.
+    print(json.dumps({
+        "pid": pid,
+        "process_count": jax.process_count(),
+        "global_devices": len(devices),
+        "mesh": {k: int(v) for k, v in mesh.shape.items()},
+        "sharded_losses": sharded_losses,
+        "loss_err_vs_local": loss_err,
+        "retrieval_match": retrieval_match,
+        "ok": bool(loss_err < 1e-4 and retrieval_match),
+    }), flush=True)
     return 0
 
 

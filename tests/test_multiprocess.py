@@ -46,13 +46,20 @@ def test_two_process_sharded_epoch_and_retrieval():
         raise
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err[-2000:]}"
-    verdict_line = [
-        l for l in outs[0][1].splitlines() if l.startswith("{")
-    ][-1]
-    verdict = json.loads(verdict_line)
-    assert verdict["process_count"] == 2
-    assert verdict["global_devices"] == 8
-    assert verdict["ok"], verdict
+    # BOTH workers' verdicts: each validated the sharded run against its own
+    # in-process reference, and the cross-process psum means their losses
+    # must be bitwise-identical — a silently diverging rank 1 fails here.
+    verdicts = []
+    for rc, out, err in outs:
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        verdicts.append(json.loads(line))
+    assert sorted(v["pid"] for v in verdicts) == [0, 1]
+    for verdict in verdicts:
+        assert verdict["process_count"] == 2
+        assert verdict["global_devices"] == 8
+        assert verdict["ok"], verdict
+    assert verdicts[0]["sharded_losses"] == verdicts[1]["sharded_losses"], (
+        "cross-process psum diverged between ranks", verdicts)
 
 
 def test_distributed_init_is_idempotent(monkeypatch):

@@ -78,6 +78,37 @@ def test_mesh_trainer_hub_pooling(cfg_data, tmp_path):
     assert cos.min() > 0.999
 
 
+def test_mesh_forces_xla_gather(cfg_data, tmp_path, monkeypatch):
+    """gather_impl='auto' must never resolve to pallas when a mesh is
+    configured — pl.pallas_call has no SPMD partitioning rule, so tracing it
+    with row-sharded operands fails or replicates the full table per chip.
+    MRE_USE_PALLAS=1 is the strongest pro-pallas setting auto honors (it
+    resolves pallas on CPU, where these tests run); the mesh must win."""
+    cfg, data = cfg_data
+    monkeypatch.setenv("MRE_USE_PALLAS", "1")
+    c1 = cfg.override({"paths.checkpoint_dir": str(tmp_path / "k")})
+    tr1 = Trainer(c1, data)
+    assert tr1.gather_impl == "pallas"  # the env var does force it unmeshed
+    c2 = cfg.override({
+        "mesh.shard_tables": True,
+        "paths.checkpoint_dir": str(tmp_path / "l"),
+    })
+    c2.mesh.mesh_shape = (2, 4)
+    tr2 = Trainer(c2, data)
+    assert tr2.gather_impl == "xla"
+    # The meshed trainer must also actually run a step with that choice.
+    stats = tr2.train_epoch(0)
+    assert np.isfinite(stats["loss"])
+    # Explicit pallas + mesh downgrades (logged) instead of tracing pallas.
+    c3 = cfg.override({
+        "model.gather_impl": "pallas",
+        "paths.checkpoint_dir": str(tmp_path / "m"),
+    })
+    c3.mesh.mesh_shape = (2, 4)
+    tr3 = Trainer(c3, data)
+    assert tr3.gather_impl == "xla"
+
+
 def test_mesh_trainer_block_pooling(cfg_data, tmp_path):
     """Block-sparse pooling under a mesh (a_blocks row-sharded over the
     model axis when divisible) matches the unsharded gather trainer."""
