@@ -203,7 +203,10 @@ def cmd_benchmark(cfg: Config, args) -> int:
     rng = np.random.default_rng(cfg.train.seed)
     nq = min(args.num_queries, emb.shape[0])
     q = emb[rng.choice(emb.shape[0], nq, replace=False)]
-    methods = ["exact", "lsh", "ivf"]
+    methods = ["exact", "lsh", "lsh_rerank", "ivf"]
+    if cfg.search.lsh_rerank > 0:
+        # The configured LSH already reranks; one row covers both.
+        methods.remove("lsh_rerank")
     if cfg.search.search_method not in methods:
         methods.append(cfg.search.search_method)  # e.g. sharded_exact
     results = benchmark_search_methods(emb, q, k=args.k, cfg=cfg,

@@ -239,12 +239,16 @@ class EvalConfig:
 class SearchConfig:
     """ANN retrieval (reference ``config.py:48-53``)."""
 
-    search_method: str = "exact"       # exact | lsh | ivf | sharded_exact
+    # exact | lsh | lsh_rerank | ivf | sharded_exact ("lsh_rerank" = lsh
+    # with a default shortlist of 100 when lsh_rerank below is 0).
+    search_method: str = "exact"
     lsh_bits: int = 256
     lsh_tables: int = 16
     # >0: re-score that many min-Hamming candidates with exact squared-L2
-    # distances (shortlist-then-rerank; lifts 59k recall@10 from ~0.38 —
-    # RESULTS.md). 0 = plain Hamming ranking, FAISS IndexLSH parity.
+    # distances (shortlist-then-rerank, same fused program; measured at 59k:
+    # recall@10 0.384 -> 0.975 at 0.21 ms/query — RESULTS.md). 0 = plain
+    # Hamming ranking, FAISS IndexLSH parity (the default, for surface
+    # parity; production should set 100 — benchmark mode reports both rows).
     lsh_rerank: int = 0
     ivf_partitions: int = 100
     # Weak-AND candidate cap: >0 bounds each probed list to k * factor

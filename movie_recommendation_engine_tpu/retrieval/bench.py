@@ -35,10 +35,17 @@ def make_index(method: str, dim: int, cfg=None, seed: int = 0):
 
             mesh = make_mesh(tuple(cfg.mesh.mesh_shape))
         return ShardedExactIndex(dim, mesh=mesh)
-    if method == "lsh":
+    if method in ("lsh", "lsh_rerank"):
         bits = cfg.search.lsh_bits if cfg else 256
         tables = cfg.search.lsh_tables if cfg else 16
         rerank = cfg.search.lsh_rerank if cfg else 0
+        if method == "lsh_rerank" and rerank <= 0:
+            # The benchmark's production-recommended variant even when the
+            # (FAISS-parity) config default leaves rerank off: shortlist 100
+            # min-Hamming candidates, exact-rerank them in the same fused
+            # program. Measured at 59k: recall@10 0.38 -> 0.975 for +18%
+            # latency (RESULTS.md).
+            rerank = 100
         return LSHIndex(dim, num_bits=bits, num_tables=tables, seed=seed,
                         rerank=rerank)
     if method == "ivf":
@@ -81,6 +88,7 @@ def benchmark_search_methods(
         "exact": "Exact (Brute Force)",
         "sharded_exact": "Exact (row-sharded over device mesh)",
         "lsh": "Locality-Sensitive Hashing",
+        "lsh_rerank": "LSH + exact rerank (fused shortlist)",
         "ivf": "Weak AND (IVF)",
     }
 
