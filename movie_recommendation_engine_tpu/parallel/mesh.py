@@ -26,6 +26,7 @@ def distributed_init(
     coordinator: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    init_timeout_s: int | None = None,
 ) -> bool:
     """Multi-host init. Must run BEFORE the first backend use (calling any
     device-touching jax API first would bind a single-process backend).
@@ -37,7 +38,13 @@ def distributed_init(
 
         JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=N \\
         JAX_PROCESS_ID=i python -m movie_recommendation_engine_tpu train ...
-    """
+
+    Failure handling: ``init_timeout_s`` (env JAX_INIT_TIMEOUT_S, default
+    300) bounds the coordinator rendezvous so a missing/crashed host fails
+    the launch with a clear error instead of hanging the pod forever; after
+    init, the JAX distributed runtime's own heartbeat service detects a
+    peer death mid-run and aborts the survivors (which then resume from the
+    last checkpoint — fit(resume_from=...) / the CLI --resume flag)."""
     global _DISTRIBUTED_INITIALIZED
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator:
@@ -53,11 +60,14 @@ def distributed_init(
     if process_id is None:
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
+    if init_timeout_s is None:
+        init_timeout_s = int(os.environ.get("JAX_INIT_TIMEOUT_S", "300"))
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
+            initialization_timeout=init_timeout_s,
         )
     except RuntimeError as e:
         # Initialized outside this helper (e.g. by the embedding
@@ -66,6 +76,25 @@ def distributed_init(
             raise
     _DISTRIBUTED_INITIALIZED = True
     return True
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns shared-filesystem writes (checkpoints,
+    exports). Trivially true single-host."""
+    return jax.process_index() == 0
+
+
+def barrier(tag: str = "barrier") -> None:
+    """Cross-host sync point: returns once EVERY process has reached it.
+    No-op single-process. Used around shared-FS checkpoint writes so no
+    process races ahead to read (or exit) before the coordinator's write
+    lands; any dead peer turns this into a heartbeat-detected abort rather
+    than a silent hang."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
 
 
 def make_mesh(

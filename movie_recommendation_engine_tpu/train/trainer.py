@@ -720,14 +720,23 @@ class Trainer:
         }
 
     def save_checkpoint(self, path: str, tag: str = "last") -> None:
-        meta = {
-            "epoch": self.epoch,
-            "best_metric": self.best_metric,
-            "plateau": self.plateau._asdict(),
-            "config": self.cfg.to_dict(),
-            "tag": tag,
-        }
-        ckpt.save_pytree(path, self._ckpt_tree(), meta)
+        # Multi-host: params/opt are replicated, so ONLY the coordinator
+        # writes (N identical concurrent writers would race on a shared FS);
+        # the barrier keeps every process from reading — or exiting — before
+        # the write lands. fit()'s loop is deterministic across processes
+        # (same data, seeds, val metric), so all ranks reach this together.
+        from ..parallel import mesh as mesh_mod
+
+        if mesh_mod.is_coordinator():
+            meta = {
+                "epoch": self.epoch,
+                "best_metric": self.best_metric,
+                "plateau": self.plateau._asdict(),
+                "config": self.cfg.to_dict(),
+                "tag": tag,
+            }
+            ckpt.save_pytree(path, self._ckpt_tree(), meta)
+        mesh_mod.barrier(f"ckpt:{tag}")
 
     def load_checkpoint(self, path: str) -> None:
         tree = ckpt.load_pytree(path, self._ckpt_tree())

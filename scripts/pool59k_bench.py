@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--max-blocks", type=int, default=32,
                     help="block impl: col blocks kept per row block")
     ap.add_argument("--block-size", type=int, default=512)
+    ap.add_argument("--hub-sweep", default="",
+                    help="comma list of head:residual pairs (e.g. "
+                         "'8192:8,16383:8,16383:16') — each hub-impl "
+                         "variant in --impls reruns once per pair; empty = "
+                         "config defaults (auto head, residual 8)")
     ap.add_argument("--dropped-cap", type=float, default=0.05,
                     help="block impl: gather fallback above this dropped mass")
     ap.add_argument("--platform", default="default")
@@ -83,27 +88,40 @@ def main():
     tr = Trainer(cfg, data, MetricsLogger())
     print(f"setup {time.time()-t0:.1f}s; device={jax.devices()[0]}", flush=True)
 
+    hub_sweep = [None]
+    if args.hub_sweep:
+        hub_sweep = []
+        for pair in args.hub_sweep.split(","):
+            head, res = pair.split(":")
+            hub_sweep.append((int(head), int(res)))
+
     results = {}
     for impl in args.impls.split(","):
         dtypes = args.pool_dtypes.split(",") if impl != "gather" else ["bfloat16"]
+        shapes = hub_sweep if impl == "hub" else [None]
         for pdt in dtypes:
-            label = impl if pdt == "bfloat16" else f"{impl}/{pdt}"
-            tr.cfg.model.pool_impl = impl
-            tr.cfg.model.pool_matrix_dtype = pdt
-            tr.nbr_tables = None  # force refresh (rebuilds pool_mats per impl)
-            tr.pool_mats = ()
-            stats_all = []
-            for epoch in range(args.epoch_offset,
-                               args.epoch_offset + args.epochs):
-                t0 = time.time()
-                stats = tr.train_epoch(epoch)
-                stats["wall_s"] = round(time.time() - t0, 2)
-                stats["impl"] = label
-                stats["epoch"] = epoch
-                print(json.dumps(stats, default=float), flush=True)
-                stats_all.append(stats)
-            # Steady-state epoch (last one; first includes compiles).
-            results[label] = stats_all[-1]
+            for shape in shapes:
+                label = impl if pdt == "bfloat16" else f"{impl}/{pdt}"
+                if shape is not None:
+                    tr.cfg.model.hub_pool_head = shape[0]
+                    tr.cfg.model.hub_pool_residual = shape[1]
+                    label = f"{label}/h{shape[0]}r{shape[1]}"
+                tr.cfg.model.pool_impl = impl
+                tr.cfg.model.pool_matrix_dtype = pdt
+                tr.nbr_tables = None  # force refresh (rebuilds pool_mats)
+                tr.pool_mats = ()
+                stats_all = []
+                for epoch in range(args.epoch_offset,
+                                   args.epoch_offset + args.epochs):
+                    t0 = time.time()
+                    stats = tr.train_epoch(epoch)
+                    stats["wall_s"] = round(time.time() - t0, 2)
+                    stats["impl"] = label
+                    stats["epoch"] = epoch
+                    print(json.dumps(stats, default=float), flush=True)
+                    stats_all.append(stats)
+                # Steady-state epoch (last one; first includes compiles).
+                results[label] = stats_all[-1]
 
     print("== summary ==")
     for label, s in results.items():

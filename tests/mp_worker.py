@@ -145,6 +145,22 @@ def main() -> int:
     exact = np.argsort(-(queries @ emb_local.T), axis=1)[:, :5]
     retrieval_match = bool((idx == exact).all())
 
+    # ---- multi-host failure-handling surface: barrier + coordinator gating -
+    from movie_recommendation_engine_tpu.parallel import mesh as mesh_mod
+
+    assert mesh_mod.is_coordinator() == (jax.process_index() == 0)
+    mesh_mod.barrier("mp_worker_test")          # must not deadlock
+    # Coordinator-gated shared-FS write: both ranks call, one file appears.
+    import tempfile
+
+    shared = os.path.join(tempfile.gettempdir(), f"mp_ckpt_gate_{port}")
+    if mesh_mod.is_coordinator():
+        with open(shared, "w") as f:
+            f.write("coordinator")
+    mesh_mod.barrier("mp_ckpt_gate")
+    with open(shared) as f:                     # visible on every rank
+        barrier_gate_ok = f.read() == "coordinator"
+
     # EVERY process prints its verdict (not just rank 0): the test parses
     # all of them and asserts the cross-process psum produced identical
     # losses on both sides — a silently diverging rank 1 must fail the test.
@@ -156,7 +172,8 @@ def main() -> int:
         "sharded_losses": sharded_losses,
         "loss_err_vs_local": loss_err,
         "retrieval_match": retrieval_match,
-        "ok": bool(loss_err < 1e-4 and retrieval_match),
+        "barrier_gate_ok": barrier_gate_ok,
+        "ok": bool(loss_err < 1e-4 and retrieval_match and barrier_gate_ok),
     }), flush=True)
     return 0
 
