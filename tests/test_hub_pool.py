@@ -146,6 +146,33 @@ def test_trainer_hub_matches_gather(tmp_path):
     assert cos.min() > 0.995
 
 
+def test_auto_head_formula():
+    """bench.py's roofline reads this helper — it IS the auto-sizing."""
+    assert hub.auto_head(16_000) == 4096       # floor
+    assert hub.auto_head(59_392) == 7424       # N/8
+    assert hub.auto_head(131_072) == 16384     # cap
+    _, stats = hub.build_hub_pool(*_tables(n=64, k=5, d=4)[:2],
+                                  valid_limit=64, head=0, residual=2)
+    assert stats["head_cols"] == min(hub.auto_head(64), 64)
+    assert "a_bytes_built" in stats
+
+
+def test_hub_dropped_mass_cap_dedicated_knob(tmp_path):
+    """hub_pool_max_dropped_mass >= 0 overrides the block threshold for the
+    hub fallback decision (default -1 inherits it)."""
+    cfg = small_test_config()
+    cfg.model.pool_impl = "hub"
+    cfg.model.hub_pool_head = 1           # drops nearly everything
+    cfg.model.hub_pool_residual = 0
+    cfg.model.block_pool_max_dropped_mass = 0.01   # would reject
+    cfg.model.hub_pool_max_dropped_mass = 1.0      # hub-specific: accept all
+    cfg.paths.checkpoint_dir = str(tmp_path / "ck_hubknob")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data, MetricsLogger(stream=io.StringIO()))
+    tr.refresh_neighborhoods()
+    assert tr.pool_mats and isinstance(tr.pool_mats[0], hub.HubPool)
+
+
 def test_trainer_hub_fallback_chain(tmp_path):
     """auto/hub with an impossible mass budget: explicit hub falls back to
     gather (empty pool_mats); auto falls through hub -> block, and with the
