@@ -39,6 +39,12 @@ def main():
                          "0-1, the historical A/B setting); offset >= 6 "
                          "times the steady-state step (num_hard 6), which "
                          "is what production epochs cost")
+    ap.add_argument("--pin-epoch", type=int, default=None,
+                    help="run every epoch with THIS epoch number (one "
+                         "program shape; the 2nd+ epochs are compile-free "
+                         "steady state). Attribution tool: pin 0 (num_hard "
+                         "0) vs pin >= 6 (num_hard 6) isolates the "
+                         "in-program hard-negative walk + extra-embed cost")
     ap.add_argument("--max-pairs", type=int, default=50_000)
     ap.add_argument("--movies", type=int, default=59_000)
     ap.add_argument("--users", type=int, default=162_000)
@@ -111,8 +117,9 @@ def main():
                 tr.nbr_tables = None  # force refresh (rebuilds pool_mats)
                 tr.pool_mats = ()
                 stats_all = []
-                for epoch in range(args.epoch_offset,
-                                   args.epoch_offset + args.epochs):
+                for i in range(args.epochs):
+                    epoch = (args.pin_epoch if args.pin_epoch is not None
+                             else args.epoch_offset + i)
                     t0 = time.time()
                     stats = tr.train_epoch(epoch)
                     stats["wall_s"] = round(time.time() - t0, 2)
