@@ -93,21 +93,26 @@ def cmd_evaluate(cfg: Config, args) -> int:
     results = tr.evaluate()
     logger.log("evaluation", **results)
     # Persist embeddings like run.py:250 / inference.py:146-170, plus the
-    # movieId<->idx mapping CSV (inference.py:160-170).
-    os.makedirs(cfg.paths.output_dir, exist_ok=True)
-    emb = np.asarray(tr.movie_embeddings())
-    ckpt.save_embeddings(
-        os.path.join(cfg.paths.output_dir, "movie_embeddings"),
-        emb, tr.data.movie_ids,
-    )
-    import csv
+    # movieId<->idx mapping CSV (inference.py:160-170). Coordinator-gated
+    # like checkpoints: under multi-host every rank runs this command.
+    from ..parallel import mesh as mesh_mod
 
-    with open(os.path.join(cfg.paths.output_dir, "movie_id_mapping.csv"),
-              "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["idx", "movieId", "title"])
-        for i, mid in enumerate(tr.data.movie_ids):
-            w.writerow([i, int(mid), tr.data.titles[i]])
+    emb = np.asarray(tr.movie_embeddings())
+    if mesh_mod.is_coordinator():
+        os.makedirs(cfg.paths.output_dir, exist_ok=True)
+        ckpt.save_embeddings(
+            os.path.join(cfg.paths.output_dir, "movie_embeddings"),
+            emb, tr.data.movie_ids,
+        )
+        import csv
+
+        with open(os.path.join(cfg.paths.output_dir, "movie_id_mapping.csv"),
+                  "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["idx", "movieId", "title"])
+            for i, mid in enumerate(tr.data.movie_ids):
+                w.writerow([i, int(mid), tr.data.titles[i]])
+    mesh_mod.barrier("embeddings_export")
     return 0
 
 
