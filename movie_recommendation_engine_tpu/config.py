@@ -239,8 +239,9 @@ class EvalConfig:
 class SearchConfig:
     """ANN retrieval (reference ``config.py:48-53``)."""
 
-    # exact | lsh | lsh_rerank | ivf | sharded_exact ("lsh_rerank" = lsh
-    # with a default shortlist of 100 when lsh_rerank below is 0).
+    # exact | lsh | lsh_rerank | ivf | sharded_exact | sharded_ivf
+    # ("lsh_rerank" = lsh with a default shortlist of 100 when lsh_rerank
+    # below is 0; sharded_* distribute over the device mesh).
     search_method: str = "exact"
     lsh_bits: int = 256
     lsh_tables: int = 16

@@ -48,13 +48,23 @@ def make_index(method: str, dim: int, cfg=None, seed: int = 0):
             rerank = 100
         return LSHIndex(dim, num_bits=bits, num_tables=tables, seed=seed,
                         rerank=rerank)
-    if method == "ivf":
+    if method in ("ivf", "sharded_ivf"):
         parts = cfg.search.ivf_partitions if cfg else 100
         factor = cfg.search.ivf_factor if cfg else 0
         nprobe = cfg.search.ivf_nprobe if cfg else 20
         balance = cfg.search.ivf_balance_factor if cfg else 4.0
-        return WeakANDIndex(dim, num_partitions=parts, candidates_factor=factor,
-                            nprobe=nprobe, seed=seed, balance_factor=balance)
+        kw = dict(num_partitions=parts, candidates_factor=factor,
+                  nprobe=nprobe, seed=seed, balance_factor=balance)
+        if method == "sharded_ivf":
+            from .sharded import ShardedIVFIndex
+
+            mesh = None
+            if cfg is not None and cfg.mesh.mesh_shape is not None:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(tuple(cfg.mesh.mesh_shape))
+            return ShardedIVFIndex(dim, mesh=mesh, **kw)
+        return WeakANDIndex(dim, **kw)
     raise ValueError(f"unknown search method: {method}")
 
 
@@ -90,6 +100,7 @@ def benchmark_search_methods(
         "lsh": "Locality-Sensitive Hashing",
         "lsh_rerank": "LSH + exact rerank (fused shortlist)",
         "ivf": "Weak AND (IVF)",
+        "sharded_ivf": "Weak AND (IVF, row-sharded over device mesh)",
     }
 
     results: dict[str, dict[str, Any]] = {}

@@ -140,6 +140,197 @@ class ShardedExactIndex:
                                valid_rows=self._orig, axis=self.axis)
 
 
+def sharded_ivf_topk(
+    mesh: Mesh,
+    emb: jax.Array,        # [S*chunk, D] cluster-ordered, group-padded, row-sharded
+    norm2: jax.Array,      # [S*chunk] row-sharded
+    perm: jax.Array,       # [S*chunk] original id per row (-1 padding), row-sharded
+    centroids: jax.Array,  # [P, D] replicated
+    starts: jax.Array,     # [P] list start in padded coords, replicated
+    ends: jax.Array,       # [P] list end in padded coords, replicated
+    queries: jax.Array,    # [Q, D] replicated
+    nprobe: int,
+    max_list: int,
+    k: int,
+    chunk: int,
+    axis: str = "model",
+):
+    """Distributed IVF search: same two-level scan as ``ivf._ivf_search`` but
+    each shard scans only the probed lists that live in its row range, then
+    the [S, k] partial top-k results merge via one tiny all-gather (the same
+    reduction as ``sharded_similarity_topk``). Every inverted list lives
+    wholly on one shard (the build pads at group boundaries), so the
+    list-vs-shard intersection is all-or-nothing and the scan needs no
+    cross-shard candidate exchange — communication is O(S*k), never rows.
+
+    Identical results to the single-chip ``WeakANDIndex`` by construction
+    (global top-``nprobe`` coarse probing; padding rows masked)."""
+    size = mesh.shape[axis]
+    kk = min(k, nprobe * max_list)
+    slot = jnp.arange(max_list, dtype=jnp.int32)
+
+    def local(emb_l, norm2_l, perm_l, q):
+        s = jax.lax.axis_index(axis)
+        lo = s * chunk
+        # Coarse quantizer (replicated; [Q, P] is tiny).
+        cd = (
+            jnp.sum(q * q, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+            + jnp.sum(centroids * centroids, axis=1)[None, :]
+        )
+        _, probe = jax.lax.top_k(-cd, nprobe)                  # [Q, nprobe]
+        st = jnp.take(starts, probe)                           # [Q, nprobe]
+        en = jnp.take(ends, probe)
+        q_norm2 = jnp.sum(q * q, axis=1, keepdims=True)
+
+        def one_probe(carry, se):
+            best_d, best_i = carry                             # [Q, kk]
+            s_, e_ = se                                        # [Q] each
+            cand = s_[:, None] + slot[None, :]                 # [Q, L] padded coords
+            valid = (cand < e_[:, None]) & (cand >= lo) & (cand < lo + chunk)
+            lc = jnp.where(valid, cand - lo, 0)
+            cemb = jnp.take(emb_l, lc, axis=0, mode="clip")    # [Q, L, D]
+            dist = (
+                q_norm2
+                - 2.0 * jnp.einsum("qd,qld->ql", q, cemb,
+                                   preferred_element_type=jnp.float32)
+                + jnp.take(norm2_l, lc, mode="clip")
+            )
+            dist = jnp.where(valid, dist, jnp.inf)
+            ids = jnp.take(perm_l, lc, mode="clip")
+            all_d = jnp.concatenate([best_d, dist], axis=1)
+            all_i = jnp.concatenate([best_i, ids], axis=1)
+            neg, pos = jax.lax.top_k(-all_d, kk)
+            return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+        qn = q.shape[0]
+        init = (
+            jnp.full((qn, kk), jnp.inf, jnp.float32),
+            jnp.full((qn, kk), -1, jnp.int32),
+        )
+        (dd, ii), _ = jax.lax.scan(one_probe, init, (st.T, en.T))
+        all_dd = jax.lax.all_gather(dd, axis)                  # [S, Q, kk]
+        all_ii = jax.lax.all_gather(ii, axis)
+        flat_d = jnp.moveaxis(all_dd, 0, 1).reshape(qn, size * kk)
+        flat_i = jnp.moveaxis(all_ii, 0, 1).reshape(qn, size * kk)
+        neg, pos = jax.lax.top_k(-flat_d, min(k, size * kk))
+        return -neg, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    dd, ids = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(emb, norm2, perm, queries)
+    if dd.shape[1] < k:
+        dd = jnp.pad(dd, ((0, 0), (0, k - dd.shape[1])),
+                     constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])),
+                      constant_values=-1)
+    ids = jnp.where(jnp.isfinite(dd), ids, -1)
+    return dd, ids
+
+
+class ShardedIVFIndex:
+    """IVF / Weak-AND retrieval over a row-sharded corpus (the 10M+-item
+    regime where one chip's HBM can't hold the table; at 59k the single-chip
+    ``WeakANDIndex`` is the production path — RESULTS.md). Same API as the
+    single-chip index (build / search / ntotal) and IDENTICAL results:
+    the coarse quantizer still takes the global top-``nprobe`` lists, each
+    shard scans only its resident lists, and the [S, k] partials merge with
+    one all-gather. Memory per chip: ~ceil(N/S) + one-list padding of f32
+    rows + the replicated [P, D] centroids (negligible).
+
+    Build partitions the cluster-ordered table (ivf.WeakANDIndex.build:
+    k-means + balancing + physical reorder) into S contiguous groups of
+    whole inverted lists with near-equal row counts, padding each group to a
+    uniform chunk so ``NamedSharding`` row-splits at group boundaries.
+    Reference: utils/nearest_neighbors.py:70-139 (single-process FAISS)."""
+
+    def __init__(self, dim: int, mesh: Mesh | None = None, axis: str = "model",
+                 num_partitions: int = 100, candidates_factor: int = 0,
+                 nprobe: int = 20, seed: int = 0, balance_factor: float = 4.0):
+        from .ivf import WeakANDIndex
+
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh((1, len(jax.devices())))
+        self.mesh = mesh
+        self.axis = axis
+        self._base = WeakANDIndex(
+            dim, num_partitions=num_partitions,
+            candidates_factor=candidates_factor, nprobe=nprobe, seed=seed,
+            balance_factor=balance_factor)
+        self._emb = None
+        self._norm2 = None
+        self._perm = None
+        self._starts = None
+        self._ends = None
+        self._chunk = 0
+        self._orig = 0
+
+    @property
+    def ntotal(self) -> int:
+        return self._orig
+
+    def build(self, embeddings) -> None:
+        import numpy as np
+
+        b = self._base
+        b.build(embeddings)
+        offsets = np.asarray(b._offsets).astype(np.int64)      # [P+1]
+        counts = np.diff(offsets)
+        n = int(offsets[-1])
+        self._orig = n
+        size = self.mesh.shape[self.axis]
+        # Contiguous greedy partition of whole lists into `size` groups with
+        # near-equal rows: list j joins the group its row-midpoint falls in.
+        target = max(n / size, 1.0)
+        mid = offsets[:-1] + counts / 2.0
+        grp = np.minimum((mid // target).astype(np.int64), size - 1)
+        grp = np.maximum.accumulate(grp) if len(grp) else grp
+        rows_per = np.bincount(grp, weights=counts, minlength=size).astype(np.int64)
+        chunk = max(int(rows_per.max(initial=1)), 1)
+        base = np.zeros(size, dtype=np.int64)                  # group start, orig coords
+        np.cumsum(rows_per[:-1], out=base[1:])
+        emb_np = np.asarray(b._emb)
+        norm2_np = np.asarray(b._norm2)
+        perm_np = np.asarray(b._perm)
+        d = emb_np.shape[1]
+        pemb = np.zeros((size * chunk, d), emb_np.dtype)
+        pnorm2 = np.zeros(size * chunk, norm2_np.dtype)
+        pperm = np.full(size * chunk, -1, np.int32)
+        for g in range(size):
+            r = int(rows_per[g])
+            pemb[g * chunk:g * chunk + r] = emb_np[base[g]:base[g] + r]
+            pnorm2[g * chunk:g * chunk + r] = norm2_np[base[g]:base[g] + r]
+            pperm[g * chunk:g * chunk + r] = perm_np[base[g]:base[g] + r]
+        # List starts/ends in padded coordinates (offsets[P+1] no longer
+        # works: the end of a group's last list != the next list's start).
+        starts = grp * chunk + (offsets[:-1] - base[grp])
+        ends = starts + counts
+        sh = NamedSharding(self.mesh, P(self.axis, None))
+        sh1 = NamedSharding(self.mesh, P(self.axis))
+        self._emb = jax.device_put(jnp.asarray(pemb), sh)
+        self._norm2 = jax.device_put(jnp.asarray(pnorm2), sh1)
+        self._perm = jax.device_put(jnp.asarray(pperm), sh1)
+        self._starts = jnp.asarray(starts.astype(np.int32))
+        self._ends = jnp.asarray(ends.astype(np.int32))
+        self._chunk = chunk
+
+    def search(self, queries, k: int = 10):
+        b = self._base
+        budget = max(b._max_list, 1)
+        if b.candidates_factor:
+            budget = min(budget, max(k * b.candidates_factor, k))
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        return sharded_ivf_topk(
+            self.mesh, self._emb, self._norm2, self._perm, b._centroids,
+            self._starts, self._ends, q, nprobe=b.nprobe, max_list=budget,
+            k=k, chunk=self._chunk, axis=self.axis)
+
+
 def shard_embeddings(mesh: Mesh, embeddings, axis: str = "model"):
     """Pad rows to the axis size and place row-sharded. Returns
     (sharded array, original row count)."""
