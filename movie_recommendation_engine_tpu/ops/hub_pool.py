@@ -148,6 +148,93 @@ def build_hub_pool(
     return hp, stats
 
 
+@partial(jax.jit, static_argnames=("limit", "h", "r", "dtype"))
+def _build_hub_pool_jit(nbrs, weights, limit, h, r, dtype):
+    n, k = nbrs.shape
+    valid = nbrs < limit
+    w = jnp.where(valid, weights.astype(jnp.float32), 0.0)
+    wsum = w.sum(axis=1, keepdims=True)
+    w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
+    cols = jnp.clip(nbrs, 0, n - 1).astype(jnp.int32)
+
+    col_mass = jnp.zeros((n,), jnp.float32).at[cols.reshape(-1)].add(
+        w.reshape(-1))
+    _, head_ids = jax.lax.top_k(col_mass, h)
+    head_ids = head_ids.astype(jnp.int32)
+    head_pos = jnp.full((n,), -1, jnp.int32).at[head_ids].set(
+        jnp.arange(h, dtype=jnp.int32))
+
+    pos = jnp.take(head_pos, cols)                       # [N, K]
+    in_head = (pos >= 0) & (w > 0)
+    w_tail = jnp.where(~in_head & (w > 0), w, 0.0)
+    res_w, res_slot = jax.lax.top_k(w_tail, r)           # [N, r] descending
+    res_ids = jnp.take_along_axis(cols, res_slot, axis=1)
+    res_ids = jnp.where(res_w > 0, res_ids, 0)
+
+    total = w.sum()
+    w_in_head = jnp.where(in_head, w, 0.0)
+    head_mass = w_in_head.sum()
+    dropped = jnp.where(
+        total > 0, 1.0 - (head_mass + res_w.sum()) / jnp.maximum(total, _EPS),
+        0.0)
+    head_frac = jnp.where(total > 0, head_mass / jnp.maximum(total, _EPS), 0.0)
+
+    row_kept = (w_in_head.sum(axis=1, keepdims=True)
+                + res_w.sum(axis=1, keepdims=True))
+    scale = jnp.where(row_kept > 0, 1.0 / jnp.maximum(row_kept, _EPS), 0.0)
+    w_head = w_in_head * scale
+    res_w = (res_w * scale).astype(jnp.float32)
+
+    ridx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    pos_c = jnp.where(in_head, pos, h)                   # h = out of range
+    a_head = jnp.zeros((n, h), dtype).at[
+        ridx.reshape(-1), pos_c.reshape(-1)
+    ].add(w_head.reshape(-1).astype(dtype), mode="drop")
+    return a_head, head_ids, res_ids, res_w, dropped, head_frac
+
+
+def build_hub_pool_device(
+    nbrs: jax.Array,       # [N, K] int neighbor ids (sentinel >= limit)
+    weights: jax.Array,    # [N, K] f32
+    valid_limit: int | None = None,
+    head: int = 4096,
+    residual: int = 8,
+    dtype=jnp.bfloat16,
+) -> tuple[HubPool, dict]:
+    """``build_hub_pool`` executed entirely on device (one jitted program).
+
+    The host builder round-trips the walk tables device->host (at 59k that
+    is ~90 MB over the relay tunnel) and argsorts them in numpy — measured
+    ~25-35 s per refresh at 59k, which eats the hub form's 4 ms/step win at
+    small epoch budgets. This build is scatter/top_k on the accelerator:
+    no transfer, no host sort; only the two stats scalars sync. Same
+    factorization contract (ties in the head/residual selections may
+    resolve differently — mass-equivalent, weight-identical on distinct
+    weights)."""
+    n, k = nbrs.shape
+    if head <= 0:
+        head = auto_head(n)
+    if residual <= 0:   # degenerate config: host builder handles r=0
+        return build_hub_pool(np.asarray(nbrs), np.asarray(weights),
+                              valid_limit=valid_limit, head=head,
+                              residual=residual, dtype=dtype)
+    h = int(min(head, n))
+    r = int(min(residual, k))
+    limit = n if valid_limit is None else min(valid_limit, n)
+    a_head, head_ids, res_ids, res_w, dropped, head_frac = _build_hub_pool_jit(
+        nbrs, weights, limit=limit, h=h, r=r, dtype=dtype)
+    hp = HubPool(a_head=a_head, head_ids=head_ids, res_nbrs=res_ids,
+                 res_w=res_w)
+    stats = {
+        "dropped_mass": float(dropped),
+        "head_cols": h,
+        "residual_per_row": r,
+        "a_bytes_built": n * h * a_head.dtype.itemsize,
+        "head_mass": float(head_frac),
+    }
+    return hp, stats
+
+
 def hub_pool_matmul(hp: HubPool, h: jax.Array, dtype=jnp.bfloat16,
                     gather_impl: str = "xla") -> jax.Array:
     """``A @ h`` through the hub factorization: one [N, H] x [H, D] MXU

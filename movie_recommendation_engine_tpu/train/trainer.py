@@ -321,8 +321,12 @@ class Trainer:
             }[cfg.model.pool_matrix_dtype]
             mats = []
             for nbrs, w in tables[:n_hub]:
-                hp, stats = hub_mod.build_hub_pool(
-                    np.asarray(nbrs), np.asarray(w),
+                # Device-side build: the host builder's walk-table download
+                # (~90 MB over the relay at 59k) + numpy argsorts cost
+                # 25-35 s per refresh; the jitted build costs milliseconds
+                # plus two scalar syncs (measured A/B in RESULTS.md).
+                hp, stats = hub_mod.build_hub_pool_device(
+                    jnp.asarray(nbrs), jnp.asarray(w),
                     valid_limit=self.valid_limit,
                     head=cfg.model.hub_pool_head,
                     residual=cfg.model.hub_pool_residual,

@@ -208,3 +208,38 @@ def test_trainer_hub_fallback_chain(tmp_path):
     text = log.getvalue()
     assert "hub_pool_fallback" in text
     assert "block_pool" in text  # the chain actually tried block next
+
+
+def test_device_build_matches_host_build():
+    """build_hub_pool_device (jitted scatter/top_k) must produce the same
+    factorization as the numpy builder: same stats and the same pooled
+    OUTPUT (tie-resolution in the head/residual selections may differ, but
+    with distinct random weights the kept entry sets coincide)."""
+    n, k, d = 400, 9, 12
+    nbrs, w, h = _tables(n=n, k=k, d=d, seed=7)
+    for head, res in ((64, 3), (0, 8), (n, k)):
+        hp_h, st_h = hub.build_hub_pool(nbrs, w, valid_limit=n, head=head,
+                                        residual=res, dtype=jnp.float32)
+        hp_d, st_d = hub.build_hub_pool_device(
+            jnp.asarray(nbrs), jnp.asarray(w), valid_limit=n, head=head,
+            residual=res, dtype=jnp.float32)
+        assert st_d["head_cols"] == st_h["head_cols"]
+        assert st_d["residual_per_row"] == st_h["residual_per_row"]
+        assert st_d["dropped_mass"] == pytest.approx(st_h["dropped_mass"],
+                                                     abs=1e-5)
+        assert st_d["head_mass"] == pytest.approx(st_h["head_mass"], abs=1e-5)
+        out_h = np.asarray(hub.hub_pool_matmul(hp_h, jnp.asarray(h),
+                                               dtype=jnp.float32))
+        out_d = np.asarray(hub.hub_pool_matmul(hp_d, jnp.asarray(h),
+                                               dtype=jnp.float32))
+        np.testing.assert_allclose(out_d, out_h, rtol=2e-5, atol=2e-5), (head, res)
+
+
+def test_device_build_zero_residual_delegates():
+    n = 120
+    nbrs, w, _ = _tables(n=n, k=5, seed=9)
+    hp, st = hub.build_hub_pool_device(jnp.asarray(nbrs), jnp.asarray(w),
+                                       valid_limit=n, head=32, residual=0,
+                                       dtype=jnp.float32)
+    assert np.asarray(hp.res_w).sum() == 0.0
+    assert st["head_cols"] == 32
