@@ -347,7 +347,10 @@ def bench_at_scale():
     MRE_BENCH_AT_SCALE_POOL selects the full-graph-layer pooling form
     (default hybrid — one [N, N] bf16 matrix; "hub" = the dense-head +
     sparse-residual factorization, ops/hub_pool.py)."""
-    pool = os.environ.get("MRE_BENCH_AT_SCALE_POOL", "hybrid")
+    # Default = hub: the measured 59k winner (24.3 vs 28.4 ms/step hybrid,
+    # RESULTS.md "Hub vs hybrid A/B at 59k"); hybrid remains selectable for
+    # the exact-form comparison.
+    pool = os.environ.get("MRE_BENCH_AT_SCALE_POOL", "hub")
     x, nbrs, weights, _ = _setup_numpy(seed=2, num_movies=AT_SCALE_MOVIES)
     rep_exps, _loss = bench_tpu(x, nbrs, weights, np.random.default_rng(2),
                                 pool=pool, steps=AT_SCALE_STEPS)

@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--subset", type=float, default=0.30,
                     help="ratings subsample fraction (reference run.py:48)")
     ap.add_argument("--out", default=None, help="write the JSON report here")
+    ap.add_argument("--pool-impl", default="auto",
+                    help="model.pool_impl override. The quality outcome is "
+                         "pooling-form-independent (forms are numerically "
+                         "identical, tests); 'gather' avoids materializing "
+                         "the [N, N] hybrid matrix when scoring large "
+                         "corpora on the CPU backend")
     args = ap.parse_args()
 
     if args.platform != "default":
@@ -70,6 +76,7 @@ def main():
     base.data.data_subset_fraction = args.subset
     base.train.epochs = args.epochs
     base.train.max_pairs_per_epoch = args.budget_pairs
+    base.model.pool_impl = args.pool_impl
     base.eval.patience = args.epochs  # no early stop: fixed budget
     base.paths.checkpoint_dir = "/tmp/sbs_ck"
     base.paths.output_dir = "/tmp/sbs_out"
