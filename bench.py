@@ -86,7 +86,8 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=3):
 
         mats = []
         for n, w in zip(nbrs[:-1], weights[:-1]):
-            hp, stats = build_hub_pool(n, w, valid_limit=num_movies)
+            hp, stats = build_hub_pool(n, w, valid_limit=num_movies,
+                                       residual=_hub_residual())
             print(f"hub pool: {stats}", file=sys.stderr)
             mats.append(hp)
         pool_mats = tuple(mats)
@@ -322,6 +323,17 @@ def bench_walk_sampling(rng, num_nodes=50_000, avg_deg=30, batch=1024,
     return nodes_per_sec
 
 
+def _hub_residual() -> int:
+    """Residual rows per node for the hub at-scale form. Default = the
+    config default (8, quality-first: 1.1% dropped mass at 59k);
+    MRE_BENCH_HUB_RESIDUAL=4 selects the recorded throughput setting
+    (RESULTS.md 128k sweep: -10 ms/step for 3.2% dropped mass)."""
+    from movie_recommendation_engine_tpu import default_config
+
+    env = os.environ.get("MRE_BENCH_HUB_RESIDUAL", "")
+    return int(env) if env else default_config().model.hub_pool_residual
+
+
 AT_SCALE_MOVIES = 59_392      # ML-25M catalog scale (hybrid pooling regime)
 AT_SCALE_STEPS = 40
 HBM_GBPS = 819.0              # TPU v5e peak HBM bandwidth (roofline basis)
@@ -370,7 +382,7 @@ def bench_at_scale():
         mcfg = default_config().model
         head = (mcfg.hub_pool_head if mcfg.hub_pool_head > 0
                 else auto_head(AT_SCALE_MOVIES))
-        residual = mcfg.hub_pool_residual
+        residual = _hub_residual()
         bytes_per_step = (2 * AT_SCALE_MOVIES * head * 2
                           + 2 * AT_SCALE_MOVIES * residual * HIDDEN * 2)
     else:
