@@ -86,8 +86,15 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=3):
 
         mats = []
         for n, w in zip(nbrs[:-1], weights[:-1]):
+            # head=0 -> auto_head(N): the same head the Trainer's config
+            # default builds (7424 at 59k), so the timed shapes — and the
+            # roofline bytes, which also use auto_head — match production.
+            # (The function default of 4096 silently undersized the slab
+            # here through round 3's first at-scale runs.) dropped/head_mass
+            # stats are meaningless on these UNIFORM synthetic tables —
+            # only the shapes/timing carry information.
             hp, stats = build_hub_pool(n, w, valid_limit=num_movies,
-                                       residual=_hub_residual())
+                                       head=0, residual=_hub_residual())
             print(f"hub pool: {stats}", file=sys.stderr)
             mats.append(hp)
         pool_mats = tuple(mats)
