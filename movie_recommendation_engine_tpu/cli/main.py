@@ -210,9 +210,13 @@ def cmd_benchmark(cfg: Config, args) -> int:
     q = emb[rng.choice(emb.shape[0], nq, replace=False)]
     methods = ["exact", "lsh", "lsh_rerank", "ivf"]
     if cfg.search.lsh_rerank > 0:
-        # The configured LSH already reranks; one row covers both.
+        # The configured LSH already reranks; one row covers both. (Don't
+        # re-append below even when search_method == "lsh_rerank" — that
+        # would build and time the identical configuration twice.)
         methods.remove("lsh_rerank")
-    if cfg.search.search_method not in methods:
+    if cfg.search.search_method not in methods and not (
+        cfg.search.search_method == "lsh_rerank" and cfg.search.lsh_rerank > 0
+    ):
         methods.append(cfg.search.search_method)  # e.g. sharded_exact
     results = benchmark_search_methods(emb, q, k=args.k, cfg=cfg,
                                        methods=methods)

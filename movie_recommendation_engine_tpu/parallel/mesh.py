@@ -61,7 +61,8 @@ def distributed_init(
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
     if init_timeout_s is None:
-        init_timeout_s = int(os.environ.get("JAX_INIT_TIMEOUT_S", "300"))
+        env = os.environ.get("JAX_INIT_TIMEOUT_S")
+        init_timeout_s = int(env) if env else 300
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,

@@ -297,6 +297,13 @@ class ShardedIVFIndex:
         emb_np = np.asarray(b._emb)
         norm2_np = np.asarray(b._norm2)
         perm_np = np.asarray(b._perm)
+        # Release the base index's unsharded device copies: search() needs
+        # only its centroids/nprobe/_max_list, and keeping the full [N, D]
+        # table resident on one device would double per-chip HBM (and OOM
+        # outright in the 10M+-item regime this class exists for — there
+        # the build-time single-device pass is itself the remaining limit;
+        # the k-means/reorder build would need to stream, documented).
+        b._emb = b._norm2 = b._perm = None
         d = emb_np.shape[1]
         pemb = np.zeros((size * chunk, d), emb_np.dtype)
         pnorm2 = np.zeros(size * chunk, norm2_np.dtype)

@@ -154,12 +154,21 @@ def main() -> int:
     import tempfile
 
     shared = os.path.join(tempfile.gettempdir(), f"mp_ckpt_gate_{port}")
+    # Run-unique content: a stale file from a previous run must not satisfy
+    # the check (it would make the write-ordering assertion vacuous).
+    nonce = f"coordinator:{os.environ.get('MP_GATE_NONCE', port)}"
     if mesh_mod.is_coordinator():
         with open(shared, "w") as f:
-            f.write("coordinator")
+            f.write(nonce)
     mesh_mod.barrier("mp_ckpt_gate")
-    with open(shared) as f:                     # visible on every rank
-        barrier_gate_ok = f.read() == "coordinator"
+    try:
+        with open(shared) as f:                 # visible on every rank
+            barrier_gate_ok = f.read() == nonce
+    except FileNotFoundError:
+        barrier_gate_ok = False
+    mesh_mod.barrier("mp_ckpt_gate_read")       # both ranks read before...
+    if mesh_mod.is_coordinator():
+        os.unlink(shared)                       # ...the coordinator cleans up
 
     # EVERY process prints its verdict (not just rank 0): the test parses
     # all of them and asserts the cross-process psum produced identical

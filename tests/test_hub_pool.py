@@ -232,7 +232,8 @@ def test_device_build_matches_host_build():
                                                dtype=jnp.float32))
         out_d = np.asarray(hub.hub_pool_matmul(hp_d, jnp.asarray(h),
                                                dtype=jnp.float32))
-        np.testing.assert_allclose(out_d, out_h, rtol=2e-5, atol=2e-5), (head, res)
+        np.testing.assert_allclose(out_d, out_h, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"head={head} residual={res}")
 
 
 def test_device_build_zero_residual_delegates():

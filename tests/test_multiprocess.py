@@ -11,6 +11,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -27,6 +28,9 @@ def test_two_process_sharded_epoch_and_retrieval():
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    # Run-unique nonce for the coordinator-gate file: a stale file from a
+    # previous run (same port) must not satisfy the gating assertion.
+    env["MP_GATE_NONCE"] = f"{port}.{os.getpid()}.{time.time_ns()}"
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), "2", str(port)],
