@@ -35,15 +35,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pool_kernel(nbr_ref, w_ref, table_ref, out_ref, rows, sems, *,
-                 tile_b: int, k: int):
+def _sublane(dtype) -> int:
+    """Mosaic sublane tiling for a dtype: DMA slices of an HBM array must be
+    whole multiples of this along dim 0 (probed on real v5e silicon:
+    'Slice shape along dimension 0 must be aligned to tiling (8)')."""
+    return 8 if jnp.dtype(dtype).itemsize >= 4 else 16
+
+
+def _pool_kernel(base_ref, w_ref, table_ref, out_ref, rows, sems, *,
+                 tile_b: int, k: int, sub: int):
     """One grid step pools ``tile_b`` nodes.
 
-    nbr_ref: SMEM [B, K] int32 (scalar-prefetch, whole array, pre-clamped)
-    w_ref:   VMEM [tile_b, K] f32 block (pre-masked: 0 at sentinel slots)
+    base_ref: SMEM [B, K] int32 (scalar-prefetch): BLOCK index of the
+              ``sub``-row window containing each neighbor; the kernel
+              multiplies by ``sub`` itself so Mosaic can prove the slice
+              start divisible by the tiling (passing a pre-multiplied row
+              failed that proof on real silicon).
+    w_ref:   VMEM [tile_b, K*sub] f32 block — weights EXPANDED to one-hot
+             position within each block (built XLA-side): w8[b, kk*sub+off]
+             = w[b, kk] where off = row - base. Row selection thus happens
+             in the MXU reduction, not via dynamic sublane indexing.
     table_ref: HBM [N, D] feature table (memory_space=ANY)
     out_ref: VMEM [tile_b, D] f32 block
-    rows:    VMEM scratch [2, K, D] (double buffer of gathered rows)
+    rows:    VMEM scratch [2, K*sub, D] (double buffer of gathered blocks)
     sems:    DMA semaphores [2, K]
     """
     i = pl.program_id(0)
@@ -52,9 +66,11 @@ def _pool_kernel(nbr_ref, w_ref, table_ref, out_ref, rows, sems, *,
         b = i * tile_b + b_local
 
         def start_one(kk, _):
-            idx = nbr_ref[b, kk]
+            start = base_ref[b, kk] * sub
             pltpu.make_async_copy(
-                table_ref.at[idx], rows.at[slot, kk], sems.at[slot, kk]
+                table_ref.at[pl.ds(start, sub)],
+                rows.at[slot, pl.ds(kk * sub, sub)],
+                sems.at[slot, kk],
             ).start()
             return 0
 
@@ -64,9 +80,11 @@ def _pool_kernel(nbr_ref, w_ref, table_ref, out_ref, rows, sems, *,
         b = i * tile_b + b_local
 
         def wait_one(kk, _):
-            idx = nbr_ref[b, kk]
+            start = base_ref[b, kk] * sub
             pltpu.make_async_copy(
-                table_ref.at[idx], rows.at[slot, kk], sems.at[slot, kk]
+                table_ref.at[pl.ds(start, sub)],
+                rows.at[slot, pl.ds(kk * sub, sub)],
+                sems.at[slot, kk],
             ).wait()
             return 0
 
@@ -82,11 +100,19 @@ def _pool_kernel(nbr_ref, w_ref, table_ref, out_ref, rows, sems, *,
             start_gathers(1 - slot, b_local + 1)
 
         wait_gathers(slot, b_local)
-        # Weighted reduction of the K gathered rows: [1,K] @ [K,D] on the MXU.
-        w_row = w_ref[b_local, :].reshape(1, k)
+        # Weighted reduction of the K gathered blocks: [1, K*sub] @
+        # [K*sub, D] on the MXU — the one-hot expansion zeroes every row of
+        # each block except the wanted neighbor.
+        w_row = w_ref[b_local, :].reshape(1, k * sub)
+        # precision=HIGHEST: on real silicon the MXU's default is a single
+        # bf16 multiply pass (probed: 2.6e-2 max err vs the f32 reference;
+        # preferred_element_type only sets the ACCUMULATOR type). The
+        # 3-pass f32-faithful product costs nothing here — the kernel is
+        # DMA-bound.
         pooled = jnp.dot(
             w_row, rows[slot].astype(jnp.float32),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         out_ref[b_local, :] = pooled[0]
         return 0
@@ -107,40 +133,56 @@ def gather_pool(
 ) -> jax.Array:
     """[B, D] f32 pooled rows: ``sum_k w[b,k] * table[nbrs[b,k]]``."""
     b, k = nbrs.shape
-    d = table.shape[1]
+    n, d = table.shape
+    sub = _sublane(table.dtype)
     # Clamp BOTH sides: a negative id would otherwise become an out-of-bounds
     # DMA source address (the XLA gather path clips; the kernel must too).
     w = jnp.where((nbrs >= valid_limit) | (nbrs < 0), 0.0,
                   weights.astype(jnp.float32))
     idx = jnp.clip(nbrs, 0, valid_limit - 1).astype(jnp.int32)
+    # Mosaic requires HBM DMA slices whole-sublane-aligned along dim 0
+    # (probed: real-chip error at 1-row slices). Copy the aligned sub-row
+    # window containing each neighbor and select the row via a one-hot
+    # expansion of the weights — the kernel then never indexes sublanes
+    # dynamically. Pad the table so every row's natural window exists (the
+    # pad is one [pad, D] zero strip — noise next to the gather itself).
+    pad_n = (-n) % sub
+    if pad_n:
+        table = jnp.pad(table, ((0, pad_n), (0, 0)))
+    blk = (idx // sub).astype(jnp.int32)
+    off = idx - blk * sub                                    # [B,K] in [0,sub)
+    w8 = jnp.zeros((b, k, sub), jnp.float32)
+    w8 = jnp.put_along_axis(w8, off[..., None], w[..., None], axis=2,
+                            inplace=False)
+    w8 = w8.reshape(b, k * sub)
 
     pad_b = (-b) % tile_b
     if pad_b:
-        idx = jnp.pad(idx, ((0, pad_b), (0, 0)))
-        w = jnp.pad(w, ((0, pad_b), (0, 0)))
+        blk = jnp.pad(blk, ((0, pad_b), (0, 0)))
+        w8 = jnp.pad(w8, ((0, pad_b), (0, 0)))
     bp = b + pad_b
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,   # nbr ids land in SMEM before the body runs
+        num_scalar_prefetch=1,   # block starts land in SMEM before the body
         grid=(bp // tile_b,),
         in_specs=[
-            pl.BlockSpec((tile_b, k), lambda i, nbr: (i, 0),
-                         memory_space=pltpu.VMEM),       # weights
+            pl.BlockSpec((tile_b, k * sub), lambda i, nbr: (i, 0),
+                         memory_space=pltpu.VMEM),       # expanded weights
             pl.BlockSpec(memory_space=pl.ANY),           # table stays in HBM
         ],
         out_specs=pl.BlockSpec((tile_b, d), lambda i, nbr: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, k, d), table.dtype),
+            pltpu.VMEM((2, k * sub, d), table.dtype),
             pltpu.SemaphoreType.DMA((2, k)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_pool_kernel, tile_b=tile_b, k=k),
+        functools.partial(_pool_kernel, tile_b=tile_b, k=k, sub=sub),
         out_shape=jax.ShapeDtypeStruct((bp, d), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, w, table)
+    )(blk, w8, table)
     return out[:b]
 
 
