@@ -32,14 +32,16 @@ def _hamming_kernel(q_ref, s_ref, out_ref, *, num_tables: int, words: int):
     tn = s.shape[0]
     best = jnp.full((tq, tn), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     for t in range(num_tables):
-        # Static python-level slices: table t occupies columns [t*W, (t+1)*W).
-        qt = q[:, t * words : (t + 1) * words]
-        st = s[:, t * words : (t + 1) * words]
-        x = jnp.bitwise_xor(qt[:, None, :], st[None, :, :])   # [TQ, TN, W]
-        ham = jnp.sum(
-            jax.lax.population_count(x).astype(jnp.int32), axis=-1
-        )
-        best = jnp.minimum(best, ham)
+        # Accumulate word-by-word over a [TQ, TN] tile: the obvious
+        # [TQ, TN, W] XOR intermediate overallocated scoped VMEM on real
+        # silicon (probed); per-word broadcasts keep the live set at two
+        # [TQ, TN] i32 buffers regardless of W.
+        acc = jnp.zeros((tq, tn), jnp.int32)
+        for wi in range(words):
+            col = t * words + wi
+            x = jnp.bitwise_xor(q[:, col][:, None], s[:, col][None, :])
+            acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+        best = jnp.minimum(best, acc)
     out_ref[:] = best
 
 
@@ -52,7 +54,7 @@ def hamming_distance(
     num_tables: int,
     words: int,
     tile_q: int = 128,
-    tile_n: int = 1024,
+    tile_n: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """[Q, N] int32 min-table Hamming distances."""
