@@ -2,9 +2,13 @@
 
 The production question is never "what does ``jax.default_backend()``
 return" — it is "can this process compile Pallas/Mosaic kernels for the
-device it holds". On a directly-attached TPU it can; through the axon
-relay/tunnel (remote-compile) it cannot (Mosaic programs hang the remote
-compiler or come back HTTP 413 — CLAUDE.md).
+device it holds". On a directly-attached TPU it can. Through the axon
+relay/tunnel the answer CHANGED in round 3: remote Mosaic compilation now
+works (the rewritten ``ops/pallas/pool.gather_pool`` compiled and ran
+correctly on the chip — RESULTS.md "Pallas on real silicon"), but compile
+latency is erratic (55 s to 21 min observed) and early rounds saw hangs/
+HTTP 413, so tunnel Pallas stays OPT-IN via ``MRE_TUNNEL_PALLAS=1`` rather
+than default.
 
 Detection subtlety (measured round 2): the axon PJRT plugin registers the
 platform as ``"axon"`` but canonicalizes it to ``"tpu"`` for MLIR lowering,
@@ -35,10 +39,15 @@ def is_tunnel_backend() -> bool:
 
 def pallas_supported() -> bool:
     """True when Pallas/Mosaic kernels can compile for the default backend:
-    a real locally-attached TPU. (CPU runs them in interpret mode only —
-    callers that accept interpret must check the backend themselves.)
+    a real locally-attached TPU, or the tunnel with the explicit
+    ``MRE_TUNNEL_PALLAS=1`` opt-in (kernels proven correct there in round 3;
+    opt-in because remote compiles can take many minutes and a killed
+    compile wedges the shared chip claim). CPU runs them in interpret mode
+    only — callers that accept interpret must check the backend themselves.
 
     The tunnel check comes FIRST: ``jax.default_backend()`` initializes the
     backend registry, and through the relay that means claiming the shared
     chip — answering "no" must never cost a device claim."""
-    return not is_tunnel_backend() and jax.default_backend() == "tpu"
+    if is_tunnel_backend() and os.environ.get("MRE_TUNNEL_PALLAS", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
