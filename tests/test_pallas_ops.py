@@ -152,3 +152,29 @@ def test_importance_pool_pallas_impl_matches_xla():
     v_x, g_x = run("xla")
     np.testing.assert_allclose(v_p, v_x, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(g_p, g_x, atol=1e-4)
+
+
+def test_gather_pool_ragged_table_and_bf16_sublanes():
+    """The sublane-window DMA path: N not a multiple of the tiling (8 for
+    f32, 16 for bf16) pads the table internally; rows in the ragged tail
+    must still pool exactly (real-silicon alignment findings, RESULTS.md
+    'Pallas on real silicon')."""
+    rng = np.random.default_rng(11)
+    for dtype, sub in ((np.float32, 8), (jnp.bfloat16, 16)):
+        n, d, b, k = 2 * sub + 3, 128, 9, 5          # ragged tail of 3 rows
+        table = rng.standard_normal((n, d)).astype(np.float32)
+        # Force every query to hit the ragged tail AND the sentinel.
+        nbrs = np.stack([
+            np.array([n - 1, n - 2, n - 3, 0, n], dtype=np.int32)
+            for _ in range(b)
+        ])
+        w = rng.random((b, k)).astype(np.float32)
+        out = pool.gather_pool(jnp.asarray(table, dtype=dtype),
+                               jnp.asarray(nbrs), jnp.asarray(w),
+                               valid_limit=n, tile_b=4, interpret=True)
+        mask = (nbrs < n).astype(np.float32)
+        tbl = np.asarray(jnp.asarray(table, dtype=dtype).astype(jnp.float32))
+        ref = np.einsum("bk,bkd->bd", w * mask, tbl[np.minimum(nbrs, n - 1)])
+        tol = 1e-4 if dtype == np.float32 else 3e-2
+        np.testing.assert_allclose(np.asarray(out), ref, atol=tol,
+                                   err_msg=str(dtype))
