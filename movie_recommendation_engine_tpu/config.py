@@ -132,9 +132,11 @@ class ModelConfig:
     # matrix (the final hybrid layer's batch gather, pool_impl="gather", block
     # fallback): "xla" = gather + einsum (materializes [B, K, D] in HBM);
     # "pallas" = fused DMA-gather kernel (ops/pallas/pool.py — rows stream
-    # through VMEM, ~1/3 the HBM traffic); "auto" = pallas on a real local
-    # TPU backend, xla elsewhere (the axon tunnel cannot remote-compile
-    # Mosaic kernels, and off-TPU the kernel only runs in interpret mode).
+    # through VMEM, ~1/3 the HBM traffic); "auto" = pallas wherever
+    # core.backend.pallas_supported(): a real local TPU, or the axon tunnel
+    # with MRE_TUNNEL_PALLAS=1 (kernels proven on silicon in round 3, but
+    # remote-compile latency is erratic so tunnel use is opt-in; off-TPU
+    # the kernel only runs in interpret mode).
     gather_impl: str = "auto"
     # Which nodes are eligible as pooled neighbors. The reference passes only
     # movie features to pooling, so user-node neighbors are silently dropped as

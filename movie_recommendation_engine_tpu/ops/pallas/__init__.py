@@ -5,8 +5,11 @@
   the dense-matrix MXU pooling in models/pinsage.py).
 
 Kernels are compiled on real TPU backends and exercised in interpret mode in
-tests; the tunnel-backed `axon` platform cannot remote-compile Pallas
-(CLAUDE.md), so callers gate on the backend (see retrieval/lsh.py).
+tests. Both kernels are proven correct on real silicon (round 3 —
+RESULTS.md "Pallas on real silicon"); through the tunnel-backed `axon`
+platform they compile too, but stay behind the ``MRE_TUNNEL_PALLAS=1``
+opt-in (erratic remote-compile latency), so callers gate on
+``core.backend.pallas_supported()`` (see retrieval/lsh.py).
 """
 
 from .hamming import hamming_distance, hamming_topk  # noqa: F401
