@@ -161,3 +161,41 @@ def test_forward_dispatcher_kwargs():
                            importance_weights=w, edge_weight=None,
                            dtype=jnp.float32)  # must not TypeError
     assert np.asarray(out2).shape == (10, 8)
+
+
+def test_sharded_ivf_releases_base_arrays(mesh8=None):
+    """After build, the wrapped single-chip index must not keep the full
+    unsharded corpus resident (round-3 review finding: it doubled per-chip
+    HBM and would OOM outright in the 10M+-item regime)."""
+    from movie_recommendation_engine_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((64, 8)).astype(np.float32)
+    idx = sharded.ShardedIVFIndex(8, mesh=make_mesh((2, 4)),
+                                  num_partitions=6, nprobe=6)
+    idx.build(emb)
+    assert idx._base._emb is None
+    assert idx._base._norm2 is None
+    assert idx._base._perm is None
+    # ...and search still works off the sharded copies.
+    _, ids = (np.asarray(x) for x in idx.search(emb[:3], k=1))
+    assert (ids[:, 0] == np.arange(3)).all()
+
+
+def test_pallas_supported_tunnel_optin(monkeypatch):
+    """Tunnel backend: Pallas only with the explicit MRE_TUNNEL_PALLAS=1
+    opt-in (kernels proven on silicon round 3; compile latency erratic)."""
+    import os
+
+    from movie_recommendation_engine_tpu.core import backend
+
+    monkeypatch.setattr(backend, "is_tunnel_backend", lambda: True)
+    monkeypatch.delenv("MRE_TUNNEL_PALLAS", raising=False)
+    assert backend.pallas_supported() is False
+    monkeypatch.setenv("MRE_TUNNEL_PALLAS", "1")
+    # With the opt-in the answer falls through to the real backend check
+    # (cpu in tests -> still False; the gate itself no longer blocks).
+    import jax
+
+    expected = jax.default_backend() == "tpu"
+    assert backend.pallas_supported() is expected
