@@ -132,7 +132,11 @@ class ModelConfig:
     # matrix (the final hybrid layer's batch gather, pool_impl="gather", block
     # fallback): "xla" = gather + einsum (materializes [B, K, D] in HBM);
     # "pallas" = fused DMA-gather kernel (ops/pallas/pool.py — rows stream
-    # through VMEM, ~1/3 the HBM traffic); "auto" = pallas wherever
+    # through VMEM with no [B, K, D] round-trip; NOTE the round-3
+    # sublane-aligned rewrite DMAs an 8/16-row window per neighbor, so its
+    # byte count is higher than one row per neighbor — the win, if any, is
+    # contiguous-window DMA bandwidth vs the XLA gather's scattered 512-byte
+    # transactions, measured per-shape); "auto" = pallas wherever
     # core.backend.pallas_supported(): a real local TPU, or the axon tunnel
     # with MRE_TUNNEL_PALLAS=1 (kernels proven on silicon in round 3, but
     # remote-compile latency is erratic so tunnel use is opt-in; off-TPU

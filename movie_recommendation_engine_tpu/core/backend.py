@@ -37,6 +37,17 @@ def is_tunnel_backend() -> bool:
     return "axon" in platforms or ("axon" in env and not platforms)
 
 
+def pallas_allowed() -> bool:
+    """True when a *requested* Pallas path may route to the kernel here:
+    any non-tunnel backend (a local TPU compiles Mosaic; CPU runs interpret
+    mode for tests), or the tunnel with the explicit ``MRE_TUNNEL_PALLAS=1``
+    opt-in. This is the gate for the math sites (hub residual gather,
+    importance_pool) — unlike ``pallas_supported`` it never initializes the
+    backend registry, so it is safe inside traced/forward code paths."""
+    return (not is_tunnel_backend()
+            or os.environ.get("MRE_TUNNEL_PALLAS", "0") == "1")
+
+
 def pallas_supported() -> bool:
     """True when Pallas/Mosaic kernels can compile for the default backend:
     a real locally-attached TPU, or the tunnel with the explicit

@@ -204,12 +204,13 @@ def importance_pool(
     wsum = jnp.sum(w, axis=1, keepdims=True)
     w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
     if (impl or _GATHER_IMPL) == "pallas":
-        from ..core.backend import is_tunnel_backend
+        from ..core.backend import pallas_allowed
 
-        if is_tunnel_backend():
-            # The tunnel's remote compiler can build neither the Mosaic
-            # kernel nor a sane program around its interpret-mode emulation;
-            # the XLA formulation below is the same math (core/backend.py).
+        if not pallas_allowed():
+            # Tunnel without the MRE_TUNNEL_PALLAS=1 opt-in: remote Mosaic
+            # compiles work since round 3 but are erratically slow, so a
+            # pallas request silently takes the XLA formulation below (same
+            # math — core/backend.py).
             pass
         else:
             from ..ops.pallas.pool import gather_pool_ad

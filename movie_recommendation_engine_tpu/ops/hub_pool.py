@@ -251,9 +251,12 @@ def hub_pool_matmul(hp: HubPool, h: jax.Array, dtype=jnp.bfloat16,
                   preferred_element_type=jnp.float32)             # [N, D] f32
     res = None
     if gather_impl == "pallas":
-        from ..core.backend import is_tunnel_backend
+        from ..core.backend import pallas_allowed
 
-        if not is_tunnel_backend():
+        if pallas_allowed():
+            # Routes through the tunnel too when MRE_TUNNEL_PALLAS=1 (the
+            # round-4 at-scale timing needs the kernel inside the real
+            # train step; kernels proven correct on silicon in round 3).
             from .pallas.pool import gather_pool_ad
 
             interpret = jax.default_backend() != "tpu"

@@ -8,9 +8,15 @@ the next node's gathers overlap the current node's weighted reduction on the
 MXU) and only the pooled [B, D] result is written back.
 
 Why a kernel: the XLA gather formulation materializes the [B, K, D] neighbor
-tensor in HBM before the einsum reduces it — 3x the minimal HBM traffic
-(write [B,K,D] + read it back vs reading each row once). Here the gathered
-rows live only in VMEM.
+tensor in HBM before the einsum reduces it (write [B,K,D] + read it back),
+and its scattered 512-byte row reads run at ~45 GB/s effective (measured,
+CLAUDE.md). Here the gathered rows live only in VMEM. NOTE on traffic: the
+round-3 sublane-aligned rewrite DMAs the whole 8-row (f32) / 16-row (bf16)
+window containing each neighbor — an 8-16x read amplification over one row
+per neighbor — so the kernel moves MORE bytes than the XLA path; its case
+rests on contiguous-window DMA bandwidth beating the scattered-transaction
+rate, which must be measured per shape (round-4 at-scale timing), not
+assumed.
 
 This is the gather-form complement to the dense-matrix MXU path
 (models/pinsage.dense_pool_matrix): dense wins when the [N, N] pool matrix

@@ -163,31 +163,32 @@ class Trainer:
         # backend: the axon tunnel's remote compiler cannot build Mosaic
         # kernels (hangs/413 — CLAUDE.md), and off-TPU the kernel would run
         # in interpret mode. MRE_USE_PALLAS=1 forces it for probe runs.
-        from ..core.backend import is_tunnel_backend, pallas_supported
+        from ..core.backend import pallas_allowed, pallas_supported
 
         gi = cfg.model.gather_impl
         mesh_active = cfg.mesh.mesh_shape is not None
         if gi == "auto":
             force = os.environ.get("MRE_USE_PALLAS") == "1"
-            # Force only resolves to pallas on backends where the kernel can
-            # actually run: compiled on a real local TPU, interpret on CPU
-            # (tests). Never through the tunnel — its remote compiler cannot
-            # build Mosaic programs (and default_backend() reports "tpu"
-            # there, so pallas_supported() is the only safe gate). Never
-            # under a mesh either: pl.pallas_call has no SPMD partitioning
-            # rule, so tracing it with row-sharded operands either fails to
-            # partition or silently all-gathers the full table per chip.
+            # Auto only resolves to pallas on backends where the kernel can
+            # compile: a real local TPU, or the tunnel behind the explicit
+            # MRE_TUNNEL_PALLAS=1 opt-in (default_backend() reports "tpu"
+            # through the tunnel too, so pallas_supported() is the only safe
+            # gate). MRE_USE_PALLAS=1 additionally forces interpret mode on
+            # CPU (tests). Never under a mesh: pl.pallas_call has no SPMD
+            # partitioning rule, so tracing it with row-sharded operands
+            # either fails to partition or silently all-gathers the full
+            # table per chip.
             gi = "pallas" if (
                 not mesh_active
                 and (pallas_supported()
                      or (force and jax.default_backend() == "cpu"))
             ) else "xla"
-        elif gi == "pallas" and (is_tunnel_backend() or mesh_active):
+        elif gi == "pallas" and (not pallas_allowed() or mesh_active):
             self.log.log(
                 "gather_impl_downgraded", requested="pallas",
                 reason=("pallas_call has no SPMD partitioning rule (mesh)"
                         if mesh_active
-                        else "axon tunnel cannot compile Mosaic kernels"))
+                        else "tunnel Mosaic compile needs MRE_TUNNEL_PALLAS=1"))
             gi = "xla"
         # Threaded through every forward call (not module-global state: a
         # second Trainer in the same process must not clobber this one).

@@ -59,8 +59,35 @@ def main():
                          "config defaults (auto head, residual 8)")
     ap.add_argument("--dropped-cap", type=float, default=0.05,
                     help="block impl: gather fallback above this dropped mass")
+    ap.add_argument("--gather-impls", default="default",
+                    help="comma list of gather_impl values (default,xla,"
+                         "pallas) — each value constructs a FRESH Trainer "
+                         "(the jitted step caches on the Trainer instance, "
+                         "so mutating gather_impl in place would silently "
+                         "reuse the old program). 'pallas' through the "
+                         "tunnel additionally needs MRE_TUNNEL_PALLAS=1 "
+                         "(core/backend.pallas_allowed)")
+    ap.add_argument("--watchdog", type=float, default=0.0,
+                    help="seconds before the process exits itself (os._exit "
+                         "after printing a marker) — a tunnel wedge must "
+                         "end in a self-exit, never an external kill "
+                         "(a killed TPU process wedges the chip claim, "
+                         "CLAUDE.md)")
     ap.add_argument("--platform", default="default")
     args = ap.parse_args()
+
+    if args.watchdog > 0:
+        import threading
+
+        def _fire():
+            print(f"pool59k_bench WATCHDOG: timed out after "
+                  f"{args.watchdog:.0f}s — self-exiting with partial results",
+                  flush=True)
+            os._exit(0)
+
+        t = threading.Timer(args.watchdog, _fire)
+        t.daemon = True
+        t.start()
 
     if args.platform != "default":
         import jax
@@ -91,8 +118,7 @@ def main():
 
     t0 = time.time()
     data = dataset.load(cfg)
-    tr = Trainer(cfg, data, MetricsLogger())
-    print(f"setup {time.time()-t0:.1f}s; device={jax.devices()[0]}", flush=True)
+    print(f"data {time.time()-t0:.1f}s; device={jax.devices()[0]}", flush=True)
 
     hub_sweep = [None]
     if args.hub_sweep:
@@ -102,33 +128,43 @@ def main():
             hub_sweep.append((int(head), int(res)))
 
     results = {}
-    for impl in args.impls.split(","):
-        dtypes = args.pool_dtypes.split(",") if impl != "gather" else ["bfloat16"]
-        shapes = hub_sweep if impl == "hub" else [None]
-        for pdt in dtypes:
-            for shape in shapes:
-                label = impl if pdt == "bfloat16" else f"{impl}/{pdt}"
-                if shape is not None:
-                    tr.cfg.model.hub_pool_head = shape[0]
-                    tr.cfg.model.hub_pool_residual = shape[1]
-                    label = f"{label}/h{shape[0]}r{shape[1]}"
-                tr.cfg.model.pool_impl = impl
-                tr.cfg.model.pool_matrix_dtype = pdt
-                tr.nbr_tables = None  # force refresh (rebuilds pool_mats)
-                tr.pool_mats = ()
-                stats_all = []
-                for i in range(args.epochs):
-                    epoch = (args.pin_epoch if args.pin_epoch is not None
-                             else args.epoch_offset + i)
-                    t0 = time.time()
-                    stats = tr.train_epoch(epoch)
-                    stats["wall_s"] = round(time.time() - t0, 2)
-                    stats["impl"] = label
-                    stats["epoch"] = epoch
-                    print(json.dumps(stats, default=float), flush=True)
-                    stats_all.append(stats)
-                # Steady-state epoch (last one; first includes compiles).
-                results[label] = stats_all[-1]
+    for gi in args.gather_impls.split(","):
+        if gi != "default":
+            cfg.model.gather_impl = gi
+        t0 = time.time()
+        tr = Trainer(cfg, data, MetricsLogger())
+        print(f"trainer(gather_impl={tr.gather_impl}) {time.time()-t0:.1f}s",
+              flush=True)
+        for impl in args.impls.split(","):
+            dtypes = (args.pool_dtypes.split(",") if impl != "gather"
+                      else ["bfloat16"])
+            shapes = hub_sweep if impl == "hub" else [None]
+            for pdt in dtypes:
+                for shape in shapes:
+                    label = impl if pdt == "bfloat16" else f"{impl}/{pdt}"
+                    if shape is not None:
+                        tr.cfg.model.hub_pool_head = shape[0]
+                        tr.cfg.model.hub_pool_residual = shape[1]
+                        label = f"{label}/h{shape[0]}r{shape[1]}"
+                    if gi != "default":
+                        label = f"{label}/{tr.gather_impl}"
+                    tr.cfg.model.pool_impl = impl
+                    tr.cfg.model.pool_matrix_dtype = pdt
+                    tr.nbr_tables = None  # force refresh (rebuilds pool_mats)
+                    tr.pool_mats = ()
+                    stats_all = []
+                    for i in range(args.epochs):
+                        epoch = (args.pin_epoch if args.pin_epoch is not None
+                                 else args.epoch_offset + i)
+                        t0 = time.time()
+                        stats = tr.train_epoch(epoch)
+                        stats["wall_s"] = round(time.time() - t0, 2)
+                        stats["impl"] = label
+                        stats["epoch"] = epoch
+                        print(json.dumps(stats, default=float), flush=True)
+                        stats_all.append(stats)
+                    # Steady-state epoch (last; first includes compiles).
+                    results[label] = stats_all[-1]
 
     print("== summary ==")
     for label, s in results.items():
