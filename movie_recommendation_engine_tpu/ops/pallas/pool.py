@@ -54,11 +54,16 @@ def _pool_kernel(base_ref, w_ref, table_ref, out_ref, rows, sems, *,
                  tile_b: int, k: int, sub: int):
     """One grid step pools ``tile_b`` nodes.
 
-    base_ref: SMEM [B, K] int32 (scalar-prefetch): BLOCK index of the
-              ``sub``-row window containing each neighbor; the kernel
-              multiplies by ``sub`` itself so Mosaic can prove the slice
-              start divisible by the tiling (passing a pre-multiplied row
-              failed that proof on real silicon).
+    base_ref: SMEM [tile_b, K] int32 BLOCK (a per-tile slice of the [B, K]
+              block-index array — NOT whole-array scalar prefetch: SMEM is
+              ~1 MB, and a train-step B of tens of thousands of rows
+              overflows it; probed on real silicon at 59k: "Allocation
+              (size=30208000) would exceed memory (size=1048576)", space=
+              smem). Each entry is the BLOCK index of the ``sub``-row
+              window containing the neighbor; the kernel multiplies by
+              ``sub`` itself so Mosaic can prove the slice start divisible
+              by the tiling (passing a pre-multiplied row failed that
+              proof on real silicon).
     w_ref:   VMEM [tile_b, K*sub] f32 block — weights EXPANDED to one-hot
              position within each block (built XLA-side): w8[b, kk*sub+off]
              = w[b, kk] where off = row - base. Row selection thus happens
@@ -68,13 +73,10 @@ def _pool_kernel(base_ref, w_ref, table_ref, out_ref, rows, sems, *,
     rows:    VMEM scratch [2, K*sub, D] (double buffer of gathered blocks)
     sems:    DMA semaphores [2, K]
     """
-    i = pl.program_id(0)
 
     def start_gathers(slot, b_local):
-        b = i * tile_b + b_local
-
         def start_one(kk, _):
-            start = base_ref[b, kk] * sub
+            start = base_ref[b_local, kk] * sub
             pltpu.make_async_copy(
                 table_ref.at[pl.ds(start, sub)],
                 rows.at[slot, pl.ds(kk * sub, sub)],
@@ -85,10 +87,8 @@ def _pool_kernel(base_ref, w_ref, table_ref, out_ref, rows, sems, *,
         jax.lax.fori_loop(0, k, start_one, 0)
 
     def wait_gathers(slot, b_local):
-        b = i * tile_b + b_local
-
         def wait_one(kk, _):
-            start = base_ref[b, kk] * sub
+            start = base_ref[b_local, kk] * sub
             pltpu.make_async_copy(
                 table_ref.at[pl.ds(start, sub)],
                 rows.at[slot, pl.ds(kk * sub, sub)],
@@ -170,25 +170,26 @@ def gather_pool(
         w8 = jnp.pad(w8, ((0, pad_b), (0, 0)))
     bp = b + pad_b
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,   # block starts land in SMEM before the body
+    out = pl.pallas_call(
+        functools.partial(_pool_kernel, tile_b=tile_b, k=k, sub=sub),
+        out_shape=jax.ShapeDtypeStruct((bp, d), jnp.float32),
         grid=(bp // tile_b,),
         in_specs=[
-            pl.BlockSpec((tile_b, k * sub), lambda i, nbr: (i, 0),
+            # Per-tile SMEM block of the neighbor block indices (whole-array
+            # scalar prefetch overflows the ~1 MB SMEM at train-step B —
+            # see _pool_kernel docstring).
+            pl.BlockSpec((tile_b, k), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, k * sub), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),       # expanded weights
             pl.BlockSpec(memory_space=pl.ANY),           # table stays in HBM
         ],
-        out_specs=pl.BlockSpec((tile_b, d), lambda i, nbr: (i, 0),
+        out_specs=pl.BlockSpec((tile_b, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, k * sub, d), table.dtype),
             pltpu.SemaphoreType.DMA((2, k)),
         ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_pool_kernel, tile_b=tile_b, k=k, sub=sub),
-        out_shape=jax.ShapeDtypeStruct((bp, d), jnp.float32),
-        grid_spec=grid_spec,
         interpret=interpret,
     )(blk, w8, table)
     return out[:b]

@@ -140,6 +140,8 @@ class ShardedExactIndex:
                                valid_rows=self._orig, axis=self.axis)
 
 
+@partial(jax.jit, static_argnames=("mesh", "nprobe", "max_list", "k",
+                                   "chunk", "axis"))
 def sharded_ivf_topk(
     mesh: Mesh,
     emb: jax.Array,        # [S*chunk, D] cluster-ordered, group-padded, row-sharded
