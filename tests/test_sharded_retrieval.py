@@ -121,6 +121,80 @@ def test_sharded_ivf_matches_single_chip(mesh8):
         assert si[r].max() < n  # group padding rows never surface
 
 
+def test_sharded_ivf_build_never_runs_single_device_pass(mesh8, monkeypatch):
+    """VERDICT r3 #4: the old build ran the unsharded WeakANDIndex.build
+    (full-table k-means + reorder on one device) before partitioning. The
+    distributed build must never call it, never materialize the base
+    index's device arrays, and keep every per-device shard at ~N/S rows."""
+    from movie_recommendation_engine_tpu.retrieval.ivf import WeakANDIndex
+
+    def boom(self, embeddings):
+        raise AssertionError("single-device WeakANDIndex.build was called")
+
+    monkeypatch.setattr(WeakANDIndex, "build", boom)
+
+    rng = np.random.default_rng(7)
+    n, d = 203, 16
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    idx = sharded.ShardedIVFIndex(d, mesh=mesh8, num_partitions=10, nprobe=4)
+    idx.build(emb)
+    assert idx.ntotal == n
+    assert idx._base._emb is None and idx._base._norm2 is None
+    # Per-device resident rows = the padded chunk, ~N/S (group padding only).
+    size = mesh8.shape["model"]
+    for s in idx._emb.addressable_shards:
+        assert s.data.shape[0] == idx._chunk
+    assert idx._chunk * size >= n
+    assert idx._chunk <= n  # no shard ever holds the whole table
+    d_, i_ = (np.asarray(x) for x in idx.search(emb[:4], k=5))
+    assert (i_[:, 0] == np.arange(4)).all()      # self-match survives
+
+
+def test_sharded_kmeans_matches_single_chip_on_separated_clusters(mesh8):
+    from movie_recommendation_engine_tpu.retrieval.ivf import kmeans
+    from movie_recommendation_engine_tpu.retrieval.sharded import (
+        sharded_kmeans, shard_embeddings,
+    )
+
+    rng = np.random.default_rng(8)
+    n, d, p = 96, 8, 4
+    centers = rng.standard_normal((p, d)).astype(np.float32) * 20.0
+    x = (centers[np.arange(n) % p]
+         + rng.standard_normal((n, d)).astype(np.float32) * 0.1)
+
+    c_ref, a_ref = kmeans(jnp.asarray(x), jax.random.PRNGKey(0), p)
+    x_sh, _ = shard_embeddings(mesh8, x)
+    c_sh, a_sh = sharded_kmeans(mesh8, x_sh, jnp.take(
+        jnp.asarray(x), jax.random.choice(jax.random.PRNGKey(0), n,
+                                          shape=(p,), replace=False), axis=0),
+        valid_rows=n)
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a_sh)[:n], np.asarray(a_ref))
+    assert (np.asarray(a_sh)[n:] == -1).all()    # padding rows masked
+
+
+def test_balance_bounded_matches_full_table_variant():
+    from movie_recommendation_engine_tpu.retrieval.ivf import (
+        balance_assignments, kmeans,
+    )
+    from movie_recommendation_engine_tpu.retrieval.sharded import (
+        balance_assignments_bounded,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d, p = 150, 8, 6
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x[:90] += 3.0                                 # one overfull region
+    c, a = kmeans(jnp.asarray(x), jax.random.PRNGKey(1), p)
+    c, a = np.asarray(c), np.asarray(a)
+    cap = 30
+    full = balance_assignments(x, c, a.copy(), cap)
+    bounded = balance_assignments_bounded(x, c, a.copy(), cap)
+    np.testing.assert_array_equal(full, bounded)
+    assert np.bincount(bounded, minlength=p).max() <= max(cap, -(-n // p))
+
+
 def test_sharded_ivf_probe_all_is_exact(mesh8):
     from movie_recommendation_engine_tpu.retrieval.exact import ExactIndex
 
