@@ -218,6 +218,15 @@ class TrainConfig:
     # LR plateau schedule (reference run.py:117-122 ReduceLROnPlateau).
     lr_plateau_factor: float = 0.5
     lr_plateau_patience: int = 2
+    # What the plateau monitors: "train_loss" (min-mode, default — always
+    # available, steps every epoch) or "val_metric" (max-mode on val
+    # HR@min(k), the reference's *intent*: run.py:120-122 constructs
+    # ReduceLROnPlateau(mode='max') for the val metric but its shipped
+    # train() never calls scheduler.step(), so ours is a functioning
+    # superset of dead code either way; see PARITY.md deviations).
+    # With "val_metric" the schedule only steps on epochs where validation
+    # ran (eval.eval_every).
+    lr_plateau_monitor: str = "train_loss"
     seed: int = 42                      # reference run.py:514 set_seed(42)
     # bfloat16 matmuls on the MXU; params and loss stay f32.
     compute_dtype: str = "bfloat16"

@@ -793,11 +793,25 @@ class Trainer:
                 val_metric = val[f"hit_rate@{min(cfg.eval.k_values)}"]
                 stats.update({f"val_{k}": v for k, v in val.items()})
 
-            self.plateau = optim.plateau_step(
-                self.plateau, stats["loss"],
-                factor=cfg.train.lr_plateau_factor,
-                patience=cfg.train.lr_plateau_patience,
-            )
+            # Plateau monitor: train loss (min-mode, default) or the val
+            # metric (max-mode via negation — the reference's intended
+            # ReduceLROnPlateau(mode='max') wiring, run.py:120-122; its
+            # shipped loop never steps the scheduler, see PARITY.md). With
+            # the val monitor, epochs without validation leave the schedule
+            # untouched.
+            if cfg.train.lr_plateau_monitor == "val_metric":
+                if val_metric is not None:
+                    self.plateau = optim.plateau_step(
+                        self.plateau, -float(val_metric),
+                        factor=cfg.train.lr_plateau_factor,
+                        patience=cfg.train.lr_plateau_patience,
+                    )
+            else:
+                self.plateau = optim.plateau_step(
+                    self.plateau, stats["loss"],
+                    factor=cfg.train.lr_plateau_factor,
+                    patience=cfg.train.lr_plateau_patience,
+                )
             stats["lr"] = self.plateau.lr
             self.log.log_epoch(epoch, **stats)
             history.append(stats)

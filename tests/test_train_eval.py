@@ -160,6 +160,65 @@ def test_trainer_checkpoint_resume(trained):
     assert int(tr2.opt_state.step) == int(tr.opt_state.step)
 
 
+def test_plateau_val_metric_monitor(tmp_path, monkeypatch):
+    """lr_plateau_monitor=val_metric steps max-mode on val HR@min(k) — the
+    reference's intended ReduceLROnPlateau(mode='max') wiring
+    (run.py:120-122; dead code there, live knob here — PARITY.md)."""
+    from movie_recommendation_engine_tpu import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = small_test_config()
+    cfg.train.epochs = 4
+    cfg.train.lr_plateau_monitor = "val_metric"
+    cfg.train.lr_plateau_patience = 0
+    cfg.eval.patience = 10  # don't early-stop before the lr cut
+    cfg.paths.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.paths.output_dir = str(tmp_path / "out")
+    data = dataset.load(cfg)
+    tr = Trainer(cfg, data)
+    # The tiny corpus yields no val pairs, and fit() skips eval on an empty
+    # split — inject one pair so the (monkeypatched) evaluate runs.
+    tr.val_pairs = np.array([[0, 1]], dtype=np.int64)
+    # Force a known declining val metric: first epoch improves, then decays
+    # — max-mode with patience 0 must halve the lr at the first bad epoch.
+    vals = iter([0.5, 0.4, 0.4, 0.4])
+    monkeypatch.setattr(
+        tr, "evaluate",
+        lambda pairs=None, params=None: {"hit_rate@10": next(vals),
+                                         "hit_rate@50": 1.0,
+                                         "hit_rate@100": 1.0,
+                                         "hit_rate@500": 1.0, "mrr": 1.0,
+                                         "mrr_standard": 0.01,
+                                         "num_pairs": 1},
+    )
+    result = tr.fit()
+    lrs = [h["lr"] for h in result["history"]]
+    assert lrs[0] == cfg.train.learning_rate       # epoch 0: new best
+    assert lrs[1] == cfg.train.learning_rate / 2   # epoch 1: worse -> cut
+    assert lrs[-1] < cfg.train.learning_rate / 2   # keeps cutting
+
+
+def test_plateau_val_metric_monitor_skips_uneval_epochs(tmp_path):
+    """With eval_every=0 (no validation) the val-metric monitor must leave
+    the schedule untouched — lr stays constant instead of stepping on a
+    missing metric."""
+    from movie_recommendation_engine_tpu import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg = small_test_config()
+    cfg.train.epochs = 3
+    cfg.train.lr_plateau_monitor = "val_metric"
+    cfg.train.lr_plateau_patience = 0
+    cfg.eval.eval_every = 0
+    cfg.paths.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.paths.output_dir = str(tmp_path / "out")
+    tr = Trainer(cfg, dataset.load(cfg))
+    result = tr.fit()
+    assert all(h["lr"] == cfg.train.learning_rate for h in result["history"])
+
+
 def test_trainer_mlp_path(tmp_path):
     """The reference's shipped simplified loop (train.py:72-78) still works."""
     from movie_recommendation_engine_tpu import small_test_config
