@@ -102,6 +102,14 @@ class ModelConfig:
     # (scripts/block_order_probe.py) vs 6.2% with a fixed 4096 head at 59k.
     hub_pool_head: int = 0
     hub_pool_residual: int = 8           # per-row top non-head entries kept
+    # Use the hub factorization for the FINAL (batch-restricted) layer too:
+    # the batch apply reads a [B, head] slab row-gather (contiguous rows) +
+    # a [B, residual, D] gather instead of the [B, K, D] scattered row
+    # gather — the latter is ~5 ms of the 22.9 ms 59k step (RESULTS.md
+    # bottleneck breakdown). Costs the hub's ~1% dropped pooling mass on
+    # that layer as well. False = final layer keeps the exact K-neighbor
+    # gather (the pre-round-4 behavior).
+    hub_pool_final_layer: bool = False
     # Fall back (hub -> block under auto, else gather) when the hub
     # factorization would drop more than this fraction of pooling weight.
     # Negative = inherit block_pool_max_dropped_mass (one shared threshold

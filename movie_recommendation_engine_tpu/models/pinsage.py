@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.block_sparse import BlockPool, block_pool_matmul
-from ..ops.hub_pool import HubPool, hub_pool_matmul
+from ..ops.hub_pool import HubPool, hub_pool_matmul, hub_pool_matmul_batch
 from . import aggregators
 
 Params = dict[str, Any]
@@ -499,9 +499,17 @@ def pooled_forward_batch(
     last = convs[-1]
     li = len(convs) - 1
     h_batch = jnp.take(h, batch_nodes, axis=0, mode="clip")
-    if li < len(pool_mats) and isinstance(pool_mats[li], (BlockPool, HubPool)):
-        # No cheap batch-row slab of a block/hub pool; pool the full graph
-        # and take the batch rows (these pools are normally prefix-only).
+    if li < len(pool_mats) and isinstance(pool_mats[li], HubPool):
+        # Batch-restricted hub apply: bitwise-equal rows of the full hub
+        # pool (rows of A are independent) at a [B, H] slab row-gather
+        # instead of the full [N, H] matmul (ops/hub_pool.py).
+        h_neigh = hub_pool_matmul_batch(
+            pool_mats[li], h, batch_nodes, dtype=dtype,
+            gather_impl=gather_impl or _GATHER_IMPL,
+        )
+    elif li < len(pool_mats) and isinstance(pool_mats[li], BlockPool):
+        # No cheap batch-row slab of a block pool; pool the full graph
+        # and take the batch rows (block pools are normally prefix-only).
         h_neigh = jnp.take(_pool_apply(pool_mats[li], h, dtype, gather_impl),
                            batch_nodes, axis=0, mode="clip")
     elif li < len(pool_mats):

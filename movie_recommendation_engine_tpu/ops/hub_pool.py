@@ -267,3 +267,39 @@ def hub_pool_matmul(hp: HubPool, h: jax.Array, dtype=jnp.bfloat16,
         res = jnp.einsum("nr,nrd->nd", hp.res_w, ce.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
     return (out + res).astype(dtype)
+
+
+def hub_pool_matmul_batch(hp: HubPool, h: jax.Array, batch_nodes: jax.Array,
+                          dtype=jnp.bfloat16,
+                          gather_impl: str = "xla") -> jax.Array:
+    """Rows ``batch_nodes`` of ``hub_pool_matmul(hp, h)`` without pooling the
+    full graph: rows of A are independent, so this is EXACTLY equal to
+    ``jnp.take(hub_pool_matmul(hp, h), batch_nodes)`` while reading only a
+    [B, H] slab row-gather (contiguous ~2H-byte rows — the access pattern
+    TPUs gather well) + one [B, R, D] residual gather, instead of the full
+    [N, H] slab matmul. This is the final-layer form
+    (``model.hub_pool_final_layer``): the step's final-layer [B, K, D]
+    scattered row gather is ~5 ms of the 22.9 ms 59k step (RESULTS.md
+    "At-scale bottleneck after hub adoption"); the hub form replaces it
+    with contiguous reads."""
+    h_head = jnp.take(h.astype(dtype), hp.head_ids, axis=0)       # [H, D]
+    a_b = jnp.take(hp.a_head, batch_nodes, axis=0, mode="clip")   # [B, H]
+    out = jnp.dot(a_b.astype(dtype), h_head,
+                  preferred_element_type=jnp.float32)             # [B, D] f32
+    rb = jnp.take(hp.res_nbrs, batch_nodes, axis=0, mode="clip")  # [B, R]
+    wb = jnp.take(hp.res_w, batch_nodes, axis=0, mode="clip")     # [B, R]
+    res = None
+    if gather_impl == "pallas":
+        from ..core.backend import pallas_allowed
+
+        if pallas_allowed():
+            from .pallas.pool import gather_pool_ad
+
+            interpret = jax.default_backend() != "tpu"
+            res = gather_pool_ad(h.astype(dtype), rb, wb,
+                                 int(h.shape[0]), 8, interpret)
+    if res is None:
+        ce = jnp.take(h.astype(dtype), rb, axis=0, mode="clip")   # [B, R, D]
+        res = jnp.einsum("br,brd->bd", wb, ce.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    return (out + res).astype(dtype)

@@ -312,7 +312,11 @@ class Trainer:
                 if impl == "block":
                     n_block = n_layers - 1
                 else:
-                    n_hub = n_layers - 1
+                    # hub_pool_final_layer: hub the batch-restricted final
+                    # layer too (contiguous [B, head] slab rows instead of
+                    # the scattered [B, K, D] gather — ops/hub_pool.py).
+                    n_hub = (n_layers if cfg.model.hub_pool_final_layer
+                             else n_layers - 1)
         if n_hub:
             from ..ops import hub_pool as hub_mod
 
@@ -476,7 +480,11 @@ class Trainer:
     ):
         cfg = self.cfg
         num_rand = min(cfg.train.num_negative_samples, self.data.num_movies)
-        use_dense = len(pool_mats) == cfg.model.num_layers
+        # Dense-matmul fast path only for plain [N, N] matrices; a full set
+        # of HubPool/BlockPool operators (hub_pool_final_layer) must route
+        # through pooled_forward_batch's structured-pool dispatch.
+        use_dense = (len(pool_mats) == cfg.model.num_layers
+                     and all(isinstance(pm, jax.Array) for pm in pool_mats))
 
         def one_step(carry, inputs):
             params, opt_state = carry
@@ -671,7 +679,8 @@ class Trainer:
                 params, x_table[: self.data.num_movies], self.compute_dtype
             )
             return emb
-        if len(pool_mats) == self.cfg.model.num_layers:
+        if (len(pool_mats) == self.cfg.model.num_layers
+                and all(isinstance(pm, jax.Array) for pm in pool_mats)):
             emb = pinsage.pooled_forward_dense(
                 params, x_table, list(pool_mats), dtype=self.compute_dtype,
             )

@@ -136,12 +136,20 @@ def main():
         print(f"trainer(gather_impl={tr.gather_impl}) {time.time()-t0:.1f}s",
               flush=True)
         for impl in args.impls.split(","):
+            # "hubf" = hub with the final layer hubbed too
+            # (model.hub_pool_final_layer — batch slab rows instead of the
+            # scattered [B, K, D] gather).
+            hub_final = impl == "hubf"
+            if hub_final:
+                impl = "hub"
+            tr.cfg.model.hub_pool_final_layer = hub_final
             dtypes = (args.pool_dtypes.split(",") if impl != "gather"
                       else ["bfloat16"])
             shapes = hub_sweep if impl == "hub" else [None]
+            name = "hubf" if hub_final else impl
             for pdt in dtypes:
                 for shape in shapes:
-                    label = impl if pdt == "bfloat16" else f"{impl}/{pdt}"
+                    label = name if pdt == "bfloat16" else f"{name}/{pdt}"
                     if shape is not None:
                         tr.cfg.model.hub_pool_head = shape[0]
                         tr.cfg.model.hub_pool_residual = shape[1]

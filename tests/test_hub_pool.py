@@ -119,6 +119,53 @@ def test_hub_pool_gradients_flow():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_hub_pool_batch_apply_equals_full_rows():
+    """hub_pool_matmul_batch is exactly rows of hub_pool_matmul (row
+    independence of A), for both gather impls."""
+    n, d = 256, 16
+    nbrs, w, h = _tables(n=n, k=7, d=d, seed=5)
+    hp, _ = hub.build_hub_pool(nbrs, w, valid_limit=n, head=32, residual=3,
+                               dtype=jnp.float32)
+    hj = jnp.asarray(h)
+    batch = jnp.asarray([0, 3, 7, 255, 128, 3], jnp.int32)  # dup + ends
+    full = np.asarray(hub.hub_pool_matmul(hp, hj, dtype=jnp.float32))
+    for gi in ("xla", "pallas"):
+        got = np.asarray(hub.hub_pool_matmul_batch(
+            hp, hj, batch, dtype=jnp.float32, gather_impl=gi))
+        np.testing.assert_allclose(got, full[np.asarray(batch)],
+                                   rtol=2e-5, atol=2e-5, err_msg=gi)
+
+
+def test_trainer_hub_final_layer_matches_gather(tmp_path):
+    """hub_pool_final_layer=True with an everything-covering hub reproduces
+    the gather trainer (the batch hub apply is the final layer's only
+    difference), and builds one HubPool per layer."""
+    def train_once(pool_impl, final, ck):
+        cfg = small_test_config()
+        cfg.train.epochs = 2
+        cfg.train.max_pairs_per_epoch = 128
+        cfg.model.pool_impl = pool_impl
+        cfg.model.hub_pool_head = 100_000   # cover everything: exact
+        cfg.model.hub_pool_residual = 64
+        cfg.model.hub_pool_final_layer = final
+        cfg.model.dropout = 0.0
+        cfg.train.compute_dtype = "float32"
+        cfg.paths.checkpoint_dir = str(tmp_path / ck)
+        data = dataset.load(cfg)
+        tr = Trainer(cfg, data, MetricsLogger(stream=io.StringIO()))
+        out = tr.fit()
+        return tr, [h["loss"] for h in out["history"]], np.asarray(
+            tr.movie_embeddings())
+
+    _, losses_g, emb_g = train_once("gather", False, "ck_gatherf")
+    tr, losses_h, emb_h = train_once("hub", True, "ck_hubf")
+    assert len(tr.pool_mats) == tr.cfg.model.num_layers
+    assert all(isinstance(pm, hub.HubPool) for pm in tr.pool_mats)
+    np.testing.assert_allclose(losses_h, losses_g, rtol=5e-3)
+    cos = (emb_h * emb_g).sum(axis=1)
+    assert cos.min() > 0.995
+
+
 def test_trainer_hub_matches_gather(tmp_path):
     """pool_impl=hub with head covering the whole corpus + full residual
     reproduces the gather trainer exactly up to f32 summation order."""
