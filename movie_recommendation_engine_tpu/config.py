@@ -139,16 +139,14 @@ class ModelConfig:
     # Gather-form pooling implementation used wherever pooling is NOT a dense
     # matrix (the final hybrid layer's batch gather, pool_impl="gather", block
     # fallback): "xla" = gather + einsum (materializes [B, K, D] in HBM);
-    # "pallas" = fused DMA-gather kernel (ops/pallas/pool.py — rows stream
-    # through VMEM with no [B, K, D] round-trip; NOTE the round-3
-    # sublane-aligned rewrite DMAs an 8/16-row window per neighbor, so its
-    # byte count is higher than one row per neighbor — the win, if any, is
-    # contiguous-window DMA bandwidth vs the XLA gather's scattered 512-byte
-    # transactions, measured per-shape); "auto" = pallas wherever
-    # core.backend.pallas_supported(): a real local TPU, or the axon tunnel
-    # with MRE_TUNNEL_PALLAS=1 (kernels proven on silicon in round 3, but
-    # remote-compile latency is erratic so tunnel use is opt-in; off-TPU
-    # the kernel only runs in interpret mode).
+    # "pallas" = fused DMA-gather kernel (ops/pallas/pool.py). "auto" = XLA
+    # everywhere: the kernel was MEASURED inside the real 59k train step on
+    # silicon (round 4, RESULTS.md) at 2.4x SLOWER than the XLA formulation
+    # — the Mosaic sublane rule forces an 8/16-row DMA window per neighbor
+    # (8-16x read amplification), which loses to XLA's batched scattered
+    # gather. The kernel remains an explicit "pallas" opt-in for future
+    # shapes/hardware (through the tunnel it additionally needs
+    # MRE_TUNNEL_PALLAS=1; off-TPU it runs interpret-mode only).
     gather_impl: str = "auto"
     # Which nodes are eligible as pooled neighbors. The reference passes only
     # movie features to pooling, so user-node neighbors are silently dropped as

@@ -7,16 +7,23 @@ feature table straight into VMEM row buffers (double-buffered per node, so
 the next node's gathers overlap the current node's weighted reduction on the
 MXU) and only the pooled [B, D] result is written back.
 
-Why a kernel: the XLA gather formulation materializes the [B, K, D] neighbor
-tensor in HBM before the einsum reduces it (write [B,K,D] + read it back),
-and its scattered 512-byte row reads run at ~45 GB/s effective (measured,
-CLAUDE.md). Here the gathered rows live only in VMEM. NOTE on traffic: the
-round-3 sublane-aligned rewrite DMAs the whole 8-row (f32) / 16-row (bf16)
-window containing each neighbor — an 8-16x read amplification over one row
-per neighbor — so the kernel moves MORE bytes than the XLA path; its case
-rests on contiguous-window DMA bandwidth beating the scattered-transaction
-rate, which must be measured per shape (round-4 at-scale timing), not
-assumed.
+Why a kernel (the original hypothesis): the XLA gather formulation
+materializes the [B, K, D] neighbor tensor in HBM before the einsum reduces
+it (write [B,K,D] + read it back), and its scattered 512-byte row reads run
+at ~45 GB/s effective (measured, CLAUDE.md). Here the gathered rows live
+only in VMEM.
+
+**Measured verdict (round 4, RESULTS.md "Pallas gather kernel inside the
+real 59k train step"): the kernel LOSES — 59 ms/step vs 24 ms for the XLA
+formulation in the same session, same shapes, on real silicon.** The
+sublane-aligned rewrite DMAs the whole 8-row (f32) / 16-row (bf16) window
+containing each neighbor (Mosaic rejects 1-row HBM slices) — an 8-16x read
+amplification that erases the no-round-trip advantage — and issues DMAs
+from a per-node scalar loop where XLA's gather is one batched op.
+``gather_impl=auto`` therefore resolves to XLA; the kernel stays as an
+explicit opt-in (it compiles and trains correctly — losses match XLA to
+~1e-3 — so it remains a valid baseline for future shapes/hardware where
+row sizes are sublane-aligned).
 
 This is the gather-form complement to the dense-matrix MXU path
 (models/pinsage.dense_pool_matrix): dense wins when the [N, N] pool matrix

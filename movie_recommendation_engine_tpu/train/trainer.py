@@ -163,26 +163,23 @@ class Trainer:
         # backend: the axon tunnel's remote compiler cannot build Mosaic
         # kernels (hangs/413 — CLAUDE.md), and off-TPU the kernel would run
         # in interpret mode. MRE_USE_PALLAS=1 forces it for probe runs.
-        from ..core.backend import pallas_allowed, pallas_supported
+        from ..core.backend import pallas_allowed
 
         gi = cfg.model.gather_impl
         mesh_active = cfg.mesh.mesh_shape is not None
         if gi == "auto":
+            # auto = xla, everywhere. Measured on real silicon inside the
+            # 59k train step (RESULTS.md "Pallas gather kernel inside the
+            # real 59k train step"): the fused DMA-gather kernel is 2.4x
+            # SLOWER than the XLA gather+einsum at production shapes (the
+            # sublane-window read amplification loses to XLA's batched
+            # gather), so auto no longer resolves to pallas on local TPUs.
+            # MRE_USE_PALLAS=1 still forces the kernel for probe runs
+            # (compiled on TPU, interpret elsewhere) — never under a mesh:
+            # pl.pallas_call has no SPMD partitioning rule.
             force = os.environ.get("MRE_USE_PALLAS") == "1"
-            # Auto only resolves to pallas on backends where the kernel can
-            # compile: a real local TPU, or the tunnel behind the explicit
-            # MRE_TUNNEL_PALLAS=1 opt-in (default_backend() reports "tpu"
-            # through the tunnel too, so pallas_supported() is the only safe
-            # gate). MRE_USE_PALLAS=1 additionally forces interpret mode on
-            # CPU (tests). Never under a mesh: pl.pallas_call has no SPMD
-            # partitioning rule, so tracing it with row-sharded operands
-            # either fails to partition or silently all-gathers the full
-            # table per chip.
-            gi = "pallas" if (
-                not mesh_active
-                and (pallas_supported()
-                     or (force and jax.default_backend() == "cpu"))
-            ) else "xla"
+            gi = "pallas" if (force and not mesh_active
+                              and pallas_allowed()) else "xla"
         elif gi == "pallas" and (not pallas_allowed() or mesh_active):
             self.log.log(
                 "gather_impl_downgraded", requested="pallas",
