@@ -148,8 +148,10 @@ def build_hub_pool(
     return hp, stats
 
 
-@partial(jax.jit, static_argnames=("limit", "h", "r", "dtype"))
-def _build_hub_pool_jit(nbrs, weights, limit, h, r, dtype):
+@partial(jax.jit, static_argnames=("limit", "h", "r", "dtype",
+                                   "a_head_sharding"))
+def _build_hub_pool_jit(nbrs, weights, limit, h, r, dtype,
+                        a_head_sharding=None):
     n, k = nbrs.shape
     valid = nbrs < limit
     w = jnp.where(valid, weights.astype(jnp.float32), 0.0)
@@ -190,6 +192,13 @@ def _build_hub_pool_jit(nbrs, weights, limit, h, r, dtype):
     a_head = jnp.zeros((n, h), dtype).at[
         ridx.reshape(-1), pos_c.reshape(-1)
     ].add(w_head.reshape(-1).astype(dtype), mode="drop")
+    if a_head_sharding is not None:
+        # Under a mesh GSPMD otherwise materializes the scatter output
+        # REPLICATED — the full [N, H] slab on every device, i.e. the
+        # per-device memory wall the row sharding exists to avoid (probed
+        # on an 8-device CPU mesh). The constraint keeps the build
+        # distributed end-to-end.
+        a_head = jax.lax.with_sharding_constraint(a_head, a_head_sharding)
     return a_head, head_ids, res_ids, res_w, dropped, head_frac
 
 
@@ -200,6 +209,9 @@ def build_hub_pool_device(
     head: int = 4096,
     residual: int = 8,
     dtype=jnp.bfloat16,
+    a_head_sharding=None,  # NamedSharding for the [N, H] slab (mesh builds:
+                           # without it GSPMD replicates the scatter output
+                           # on every device — see _build_hub_pool_jit)
 ) -> tuple[HubPool, dict]:
     """``build_hub_pool`` executed entirely on device (one jitted program).
 
@@ -222,7 +234,8 @@ def build_hub_pool_device(
     r = int(min(residual, k))
     limit = n if valid_limit is None else min(valid_limit, n)
     a_head, head_ids, res_ids, res_w, dropped, head_frac = _build_hub_pool_jit(
-        nbrs, weights, limit=limit, h=h, r=r, dtype=dtype)
+        nbrs, weights, limit=limit, h=h, r=r, dtype=dtype,
+        a_head_sharding=a_head_sharding)
     hp = HubPool(a_head=a_head, head_ids=head_ids, res_nbrs=res_ids,
                  res_w=res_w)
     stats = {

@@ -332,6 +332,12 @@ class Trainer:
                     valid_limit=self.valid_limit,
                     head=cfg.model.hub_pool_head,
                     residual=cfg.model.hub_pool_residual,
+                    # Keep the [N, H] slab row-sharded through the build —
+                    # without the constraint GSPMD replicates the scatter
+                    # output on every device (the per-device memory wall
+                    # row sharding exists to avoid).
+                    a_head_sharding=(self._row_sharding
+                                     if self.mesh is not None else None),
                 )
                 self.log.log("hub_pool", **stats)
                 hub_cap = (cfg.model.hub_pool_max_dropped_mass

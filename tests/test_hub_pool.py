@@ -119,6 +119,35 @@ def test_hub_pool_gradients_flow():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_hub_pool_device_build_keeps_slab_row_sharded():
+    """Under a mesh the [N, H] slab must come out ROW-SHARDED, not
+    replicated (GSPMD's default for the scatter output — probed: the full
+    slab landed on every device), and match the unsharded build."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from movie_recommendation_engine_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 4))
+    rs = NamedSharding(mesh, P("model", None))
+    rng = np.random.default_rng(11)
+    n, k = 512, 16
+    nbrs_np = rng.integers(0, n, (n, k)).astype(np.int32)
+    w_np = rng.random((n, k)).astype(np.float32)
+    nbrs = jax.device_put(jnp.asarray(nbrs_np), rs)
+    w = jax.device_put(jnp.asarray(w_np), rs)
+    hp, _ = hub.build_hub_pool_device(nbrs, w, valid_limit=n, head=64,
+                                      residual=4, a_head_sharding=rs)
+    assert hp.a_head.sharding.spec == P("model", None), hp.a_head.sharding
+    for s in hp.a_head.addressable_shards:
+        assert s.data.shape[0] == n // 4      # one row shard per device
+    ref, _ = hub.build_hub_pool_device(jnp.asarray(nbrs_np),
+                                       jnp.asarray(w_np), valid_limit=n,
+                                       head=64, residual=4)
+    np.testing.assert_allclose(
+        np.asarray(hp.a_head, dtype=np.float32),
+        np.asarray(ref.a_head, dtype=np.float32), atol=1e-6)
+
+
 def test_hub_pool_batch_apply_equals_full_rows():
     """hub_pool_matmul_batch is exactly rows of hub_pool_matmul (row
     independence of A), for both gather impls."""
