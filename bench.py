@@ -106,11 +106,15 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=3):
     xj = jnp.asarray(x)
     nbrs_j = tuple(jnp.asarray(n) for n in nbrs)
     w_j = tuple(jnp.asarray(w) for w in weights)
-    if pool == "hub":
+    if pool in ("hub", "hubf"):
         from movie_recommendation_engine_tpu.ops.hub_pool import build_hub_pool
 
+        # "hubf" hubs the final batch layer too (model.hub_pool_final_layer):
+        # pooled_forward_batch's HubPool dispatch reads contiguous [B, head]
+        # slab rows instead of the scattered [B, K, D] gather.
+        n_mats = len(nbrs) if pool == "hubf" else len(nbrs) - 1
         mats = []
-        for n, w in zip(nbrs[:-1], weights[:-1]):
+        for n, w in zip(nbrs[:n_mats], weights[:n_mats]):
             # head=0 -> auto_head(N): the same head the Trainer's config
             # default builds (7424 at 59k), so the timed shapes — and the
             # roofline bytes, which also use auto_head — match production.
@@ -161,7 +165,7 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=3):
 
             def loss_fn(params):
                 all_nodes = jnp.concatenate([q, p, rn, hn.reshape(-1)])
-                if len(pool_mats) == len(params["convs"]):
+                if pool == "dense":
                     emb = pinsage.pooled_forward_batch_dense(
                         params, xj, list(pool_mats), all_nodes,
                         dtype=jnp.bfloat16,
@@ -417,7 +421,7 @@ def bench_at_scale():
     # [N, N] bf16 pool matrix forward AND backward; for hub the dominant
     # traffic is the head slab (fwd+bwd) + the residual row gather (fwd +
     # scatter-add bwd). (Activations/tables are ~1% at this scale.)
-    if pool == "hub":
+    if pool in ("hub", "hubf"):
         from movie_recommendation_engine_tpu import default_config
         from movie_recommendation_engine_tpu.ops.hub_pool import auto_head
 
@@ -430,6 +434,12 @@ def bench_at_scale():
         residual = _hub_residual()
         bytes_per_step = (2 * AT_SCALE_MOVIES * head * 2
                           + 2 * AT_SCALE_MOVIES * residual * HIDDEN * 2)
+        if pool == "hubf":
+            # The hubbed final layer swaps the [B, K, D] scattered gather
+            # for batch slab rows + batch residual (fwd + bwd each).
+            b_total = 2 * BATCH + NUM_RAND_NEG + BATCH * NUM_HARD
+            bytes_per_step += (2 * b_total * head * 2
+                               + 2 * b_total * residual * HIDDEN * 2)
     else:
         bytes_per_step = 2 * AT_SCALE_MOVIES * AT_SCALE_MOVIES * 2
     roofline_ms = bytes_per_step / (HBM_GBPS * 1e9) * 1e3
