@@ -73,7 +73,11 @@ def make_sharded_train_step(mesh: Mesh, scfg: ShardedStepConfig):
             if scfg.num_hard > 0:
                 nodes.append(hard_negs.reshape(-1))
             all_nodes = jnp.concatenate(nodes)
-            if len(pool_mats) == len(params["convs"]):
+            # Dense fast path only for plain [N, N] arrays — a full set of
+            # HubPool operators (hub_pool_final_layer) routes through
+            # pooled_forward_batch's structured-pool dispatch.
+            if (len(pool_mats) == len(params["convs"])
+                    and all(isinstance(pm, jax.Array) for pm in pool_mats)):
                 emb = pinsage.pooled_forward_batch_dense(
                     params, x_table, list(pool_mats), all_nodes,
                     dtype=scfg.dtype,
@@ -151,7 +155,8 @@ def sharded_embed_fn(mesh: Mesh, scfg: ShardedStepConfig):
     row = NamedSharding(mesh, P("model", None))
 
     def embed(params, x_table, nbrs_l, w_l, pool_mats=()):
-        if pool_mats and len(pool_mats) == len(params["convs"]):
+        if (pool_mats and len(pool_mats) == len(params["convs"])
+                and all(isinstance(pm, jax.Array) for pm in pool_mats)):
             return pinsage.pooled_forward_dense(
                 params, x_table, list(pool_mats), dtype=scfg.dtype,
             )
