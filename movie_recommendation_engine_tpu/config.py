@@ -108,7 +108,10 @@ class ModelConfig:
     # gather — the latter is ~5 ms of the 22.9 ms 59k step (RESULTS.md
     # bottleneck breakdown). Costs the hub's ~1% dropped pooling mass on
     # that layer as well. False = final layer keeps the exact K-neighbor
-    # gather (the pre-round-4 behavior).
+    # gather (the pre-round-4 behavior). HBM note: this builds a SECOND
+    # [N, head] slab — at 256k rows two 8.6 GB slabs exceed v5e HBM
+    # (measured OOM, RESULTS.md); the form fits up to ~131k rows at the
+    # 16384 auto head.
     hub_pool_final_layer: bool = False
     # Fall back (hub -> block under auto, else gather) when the hub
     # factorization would drop more than this fraction of pooling weight.

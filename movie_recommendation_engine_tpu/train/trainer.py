@@ -344,6 +344,29 @@ class Trainer:
                            if cfg.model.hub_pool_max_dropped_mass >= 0
                            else cfg.model.block_pool_max_dropped_mass)
                 if stats["dropped_mass"] > hub_cap:
+                    # First escape: DOUBLE the residual once before giving
+                    # up the hub form. Measured at 256k (RESULTS.md): the
+                    # auto head caps at 16384 = N/16 and r8 drops 5.17%
+                    # (just over the 5% gate), while r16 drops 0.42% at
+                    # 193 vs 111 ms/step — still far cheaper than the
+                    # gather fallback. Residual rows cost gather bandwidth
+                    # but no slab HBM, so this is the escape that always
+                    # fits.
+                    r2 = min(cfg.model.hub_pool_residual * 2,
+                             int(jnp.shape(nbrs)[1]))
+                    if r2 > cfg.model.hub_pool_residual:
+                        hp, stats = hub_mod.build_hub_pool_device(
+                            jnp.asarray(nbrs), jnp.asarray(w),
+                            valid_limit=self.valid_limit,
+                            head=cfg.model.hub_pool_head,
+                            residual=r2,
+                            a_head_sharding=(self._row_sharding
+                                             if self.mesh is not None
+                                             else None),
+                        )
+                        self.log.log("hub_pool_residual_escalated",
+                                     residual=r2, **stats)
+                if stats["dropped_mass"] > hub_cap:
                     # Mass not hub-concentrated enough; auto tries the
                     # clustered block tiling next, then gather.
                     self.log.log("hub_pool_fallback",

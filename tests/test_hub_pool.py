@@ -286,6 +286,29 @@ def test_trainer_hub_fallback_chain(tmp_path):
     assert "block_pool" in text  # the chain actually tried block next
 
 
+def test_trainer_hub_residual_escalation(tmp_path):
+    """When the hub drop exceeds the gate, the trainer doubles the residual
+    ONCE before falling back (the 256k escape, RESULTS.md: auto head caps
+    at N/16 and r8 drops 5.17%; r16 drops 0.42% and still beats gather).
+    head=1 + residual=4 of K=8 drops the per-row tail (> 5% gate);
+    residual 8 keeps every entry (~0 drop) — the escalated build must be
+    adopted, not the fallback chain."""
+    cfg = small_test_config()
+    cfg.model.pool_impl = "hub"
+    cfg.model.hub_pool_head = 1
+    cfg.model.hub_pool_residual = 4
+    cfg.paths.checkpoint_dir = str(tmp_path / "ck_hubesc")
+    data = dataset.load(cfg)
+    log = io.StringIO()
+    tr = Trainer(cfg, data, MetricsLogger(stream=log))
+    tr.refresh_neighborhoods()
+    assert tr.pool_mats and isinstance(tr.pool_mats[0], hub.HubPool)
+    assert tr.pool_mats[0].res_w.shape[1] == 8          # doubled residual
+    text = log.getvalue()
+    assert "hub_pool_residual_escalated" in text
+    assert "hub_pool_fallback" not in text
+
+
 def test_device_build_matches_host_build():
     """build_hub_pool_device (jitted scatter/top_k) must produce the same
     factorization as the numpy builder: same stats and the same pooled
