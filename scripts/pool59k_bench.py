@@ -161,16 +161,28 @@ def main():
                     tr.nbr_tables = None  # force refresh (rebuilds pool_mats)
                     tr.pool_mats = ()
                     stats_all = []
-                    for i in range(args.epochs):
-                        epoch = (args.pin_epoch if args.pin_epoch is not None
-                                 else args.epoch_offset + i)
-                        t0 = time.time()
-                        stats = tr.train_epoch(epoch)
-                        stats["wall_s"] = round(time.time() - t0, 2)
-                        stats["impl"] = label
-                        stats["epoch"] = epoch
-                        print(json.dumps(stats, default=float), flush=True)
-                        stats_all.append(stats)
+                    try:
+                        for i in range(args.epochs):
+                            epoch = (args.pin_epoch
+                                     if args.pin_epoch is not None
+                                     else args.epoch_offset + i)
+                            t0 = time.time()
+                            stats = tr.train_epoch(epoch)
+                            stats["wall_s"] = round(time.time() - t0, 2)
+                            stats["impl"] = label
+                            stats["epoch"] = epoch
+                            print(json.dumps(stats, default=float), flush=True)
+                            stats_all.append(stats)
+                    except Exception as e:
+                        # One arm must not sink the rest (a 256k hubf arm
+                        # OOMed and lost the remaining sweep in round 4).
+                        print(json.dumps({"impl": label,
+                                          "error": f"{type(e).__name__}: "
+                                                   f"{e}"[:400]}),
+                              flush=True)
+                        tr.nbr_tables = None
+                        tr.pool_mats = ()
+                        continue
                     # Steady-state epoch (last; first includes compiles).
                     results[label] = stats_all[-1]
 
