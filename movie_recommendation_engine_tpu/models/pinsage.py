@@ -273,6 +273,10 @@ def dense_pool_matrix_direct(
     num_cols: int,
     valid_limit: int | None = None,
     dtype=jnp.bfloat16,
+    out_sharding=None,     # NamedSharding: keep the [N, C] scatter output
+                           # row-sharded under a mesh (GSPMD otherwise
+                           # replicates it on every device — the same wall
+                           # fixed for the hub slab, ops/hub_pool.py)
 ) -> jax.Array:
     """``dense_pool_matrix`` scattering straight into a ``dtype`` buffer —
     ONE resident [N, num_cols] allocation (7 GB bf16 at ML-25M scale) with no
@@ -289,9 +293,12 @@ def dense_pool_matrix_direct(
     w = jnp.where(wsum > 0, w / jnp.maximum(wsum, _EPS), 0.0)
     rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32)[:, None], k, axis=1)
     a = jnp.zeros((n, num_cols), dtype=dtype)
-    return a.at[rows.reshape(-1), jnp.minimum(nbrs, num_cols - 1).reshape(-1)].add(
+    a = a.at[rows.reshape(-1), jnp.minimum(nbrs, num_cols - 1).reshape(-1)].add(
         w.reshape(-1).astype(dtype)
     )
+    if out_sharding is not None:
+        a = jax.lax.with_sharding_constraint(a, out_sharding)
+    return a
 
 
 def build_pool_matrix(
@@ -301,6 +308,7 @@ def build_pool_matrix(
     valid_limit: int | None = None,
     dtype=jnp.bfloat16,
     direct_above_rows: int = 8192,
+    out_sharding=None,
 ) -> jax.Array:
     """Memory-aware ``dense_pool_matrix``: tables up to ``direct_above_rows``
     keep the f32-accumulate build; larger ones scatter straight into the
@@ -311,12 +319,13 @@ def build_pool_matrix(
     it double-buffered into OOM.) This threshold switch is what makes the
     dense MXU pooling path viable at 59k rows (hybrid mode)."""
     n = int(nbrs.shape[0])
-    if n <= direct_above_rows:
+    if n <= direct_above_rows and out_sharding is None:
         return dense_pool_matrix(nbrs, weights, num_cols, valid_limit, dtype)
     build = jax.jit(dense_pool_matrix_direct,
-                    static_argnames=("num_cols", "valid_limit", "dtype"))
+                    static_argnames=("num_cols", "valid_limit", "dtype",
+                                     "out_sharding"))
     return build(nbrs, weights, num_cols=num_cols, valid_limit=valid_limit,
-                 dtype=dtype)
+                 dtype=dtype, out_sharding=out_sharding)
 
 
 # Former name (the chunked-donation design it described is gone).

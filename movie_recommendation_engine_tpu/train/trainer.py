@@ -461,6 +461,10 @@ class Trainer:
                 a = pinsage.build_pool_matrix(
                     nbrs, w, num_cols=self.table_rows,
                     valid_limit=self.valid_limit,
+                    # Keep the [N, N] scatter output row-sharded under a
+                    # mesh (GSPMD otherwise replicates it per device).
+                    out_sharding=(self._row_sharding
+                                  if self.mesh is not None else None),
                 )
                 if a.dtype != pool_dtype:
                     # Quantize AFTER the scatter build (scatter-add into f8
