@@ -173,7 +173,13 @@ def main():
                       "hit_rate@500", "mrr", "mrr_standard"):
                 f.write(f"| {k} | {final[k]:.4f} |\n")
         # Free the arm's device state before the next arm builds its own.
+        # del alone is NOT enough: Trainer._run_steps is jitted with self
+        # static, so the global jit cache retains every Trainer — including
+        # its pool matrices (a hybrid arm pins 7 GB of A at 59k; observed
+        # OOM on arm 4). Clearing the caches drops those refs; the next arm
+        # recompiles anyway.
         del tr
+        jax.clear_caches()
     print("quality_arms done", flush=True)
 
 
