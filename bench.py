@@ -401,14 +401,15 @@ def _variance(rep_exps):
 
 def bench_at_scale():
     """The ML-25M-scale figure (59k rows) plus its HBM roofline.
-    MRE_BENCH_AT_SCALE_POOL selects the full-graph-layer pooling form:
-    default "hub" — the dense-head + sparse-residual factorization
-    (ops/hub_pool.py), the measured 59k winner (24.3 vs 28.4 ms/step,
-    RESULTS.md "Hub vs hybrid A/B at 59k"); "hybrid" (one [N, N] bf16
-    matrix — what the default-config trainer's pool_impl=auto still selects
-    at <= 64k rows because it is exact) remains selectable for the
-    exact-form comparison."""
-    pool = os.environ.get("MRE_BENCH_AT_SCALE_POOL", "hub")
+    MRE_BENCH_AT_SCALE_POOL selects the pooling form: default "hubf" — hub
+    factorization with the final batch layer hubbed too
+    (model.hub_pool_final_layer; ops/hub_pool.py), the measured 59k winner
+    (19.3 ms/step vs 24.3 hub / 28.4 hybrid, RESULTS.md "Hub-final-layer
+    A/B at 59k") and the best-quality arm of the seed-43 59k quality A/B.
+    "hub" and "hybrid" (one [N, N] bf16 matrix — what the default-config
+    trainer's pool_impl=auto still selects at <= 64k rows because it is
+    exact) remain selectable for form comparisons."""
+    pool = os.environ.get("MRE_BENCH_AT_SCALE_POOL", "hubf")
     # popularity=True: production-shaped tables so the hub build's recorded
     # dropped_mass/head_mass validate the production path (see _setup_numpy).
     x, nbrs, weights, _ = _setup_numpy(seed=2, num_movies=AT_SCALE_MOVIES,
