@@ -90,8 +90,10 @@ class ModelConfig:
     # dropped 9.7%, scripts/block_order_probe.py); "block" tiles the
     # matrices into clustered [bs, cs] blocks (ops/block_sparse.py);
     # "auto" picks dense <= dense_pool_max_rows rows, hybrid <=
-    # dense_pool_hybrid_max_rows, hub above that, falling back hub -> block
-    # -> gather when a form would drop too much pooling weight.
+    # dense_pool_hybrid_max_rows, hub above that; when a hub build would
+    # drop too much pooling weight the trainer first doubles the residual
+    # once (the 256k escape — residual costs bandwidth, not slab HBM,
+    # RESULTS.md), then falls back hub -> block -> gather.
     pool_impl: str = "auto"
     dense_pool_max_rows: int = 32768
     dense_pool_hybrid_max_rows: int = 65536
