@@ -55,8 +55,11 @@ def _setup_numpy(seed=0, num_movies=NUM_MOVIES, popularity=False):
     recorded stats sanity-check the production path. Round 3 used uniform
     tables here, which printed dropped_mass 0.55 into BENCH_r03.json — a
     number that would fail the trainer's own 5% gate (VERDICT r3 weak #5).
-    The timed SHAPES are identical either way (ids/weights only change
-    values), so at-scale figures stay comparable across rounds."""
+    The timed SHAPES are identical either way, but values matter to timing
+    too: popularity tables concentrate gather addresses on hot rows, which
+    changes HBM/cache locality of the residual and final-layer gathers — so
+    round-4+ at-scale figures are comparable to each other, not strictly to
+    round 3's uniform-table rows."""
     rng = np.random.default_rng(seed)
     x = rng.standard_normal((num_movies, FEATURE_DIM)).astype(np.float32)
     if popularity:
@@ -84,7 +87,7 @@ def _setup_numpy(seed=0, num_movies=NUM_MOVIES, popularity=False):
     return x, nbrs, weights, rng
 
 
-def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=3):
+def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=5):
     """pool="dense": importance pooling as an [N, N] bf16 MXU matmul (what
     train/trainer.py uses for corpora <= dense_pool_max_rows — measured ~50x
     faster on TPU than the irregular row gather). pool="hybrid": ONE [N, N]
@@ -204,14 +207,29 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=3):
     params, opt_state, loss = run_steps(
         params, opt_state, xj, nbrs_j, w_j, pool_mats, *blocks(steps))
     _ = np.asarray(loss)   # absorb compile; force true materialization
-    # One more UNTIMED rep of the already-compiled program: under driver
-    # conditions the first post-compile execution is a cold outlier (device
-    # caches, tunnel state — BENCH_r03's 10.7% primary spread came entirely
-    # from rep 1 at 280k vs 312/315k), so the timed reps must start from a
-    # warm steady state.
-    params, opt_state, loss = run_steps(
-        params, opt_state, xj, nbrs_j, w_j, pool_mats, *blocks(steps))
-    _ = np.asarray(loss)
+    # ADAPTIVE warmup: two consecutive driver artifacts (BENCH_r03 10.7%,
+    # BENCH_r04 20.7% primary spread) had a ~20%-cold FIRST timed rep that
+    # same-day rehearsals never reproduced — a fixed warm-rep count (r4
+    # used exactly one) does not cover a fresh process on a fresh chip
+    # claim. So warm until execution time itself stabilizes: run untimed
+    # reps, timing each, until two consecutive agree within 2% (cap 5 —
+    # each rep is <1 s device time at both bench scales, so the cap costs
+    # seconds, not minutes). The timed reps then start from a measured
+    # steady state instead of an assumed one.
+    prev_dt = None
+    for _w in range(5):
+        blk = blocks(steps)
+        for b in blk:
+            np.asarray(b)        # upload before timing (see timed loop)
+        t0 = time.perf_counter()
+        params, opt_state, loss = run_steps(
+            params, opt_state, xj, nbrs_j, w_j, pool_mats, *blk)
+        _ = np.asarray(loss)
+        dt = time.perf_counter() - t0
+        print(f"warmup rep {_w}: {dt * 1e3:.1f} ms", file=sys.stderr)
+        if prev_dt is not None and abs(dt - prev_dt) / min(dt, prev_dt) < 0.02:
+            break
+        prev_dt = dt
 
     # Repeat the timed block: the program is already compiled, so each rep
     # costs only device time, and the median + spread separate a real

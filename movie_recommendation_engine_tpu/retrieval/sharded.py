@@ -326,7 +326,12 @@ def balance_assignments_bounded(
     spilled: list[int] = []
     for c in np.flatnonzero(counts > cap):
         rows = np.flatnonzero(assign == c)
-        d_own = np.sum((x[rows] - centroids[c]) ** 2, axis=1)
+        # Same FP formulation as ivf.balance_assignments (the clamped
+        # three-term expansion): direct (x-c)**2 sums differ in float on
+        # near-ties, which could order tied rows differently and break the
+        # "identical spill decisions" contract.
+        d_own = pairwise_sq_dists(
+            np.asarray(x[rows], np.float32), centroids[c:c + 1])[:, 0]
         order = np.argsort(d_own, kind="stable")
         spilled.extend(int(r) for r in rows[order[cap:]])
         room[c] = 0

@@ -155,6 +155,13 @@ class Trainer:
         self.pool_mats: tuple = ()
         self._block_perm: np.ndarray | None = None  # cached cluster order
         self.compute_dtype = _dtype(cfg.train.compute_dtype)
+        if cfg.train.lr_plateau_monitor not in ("train_loss", "val_metric"):
+            # A typo here would silently train under the wrong LR schedule
+            # (the string is only compared inside fit()'s epoch loop).
+            raise ValueError(
+                "train.lr_plateau_monitor must be 'train_loss' or "
+                f"'val_metric', got {cfg.train.lr_plateau_monitor!r}"
+            )
         # Steps scanned per device dispatch (see _run_steps).
         self.steps_per_call = 8
 
@@ -622,11 +629,12 @@ class Trainer:
     def train_epoch(self, epoch: int) -> dict[str, float]:
         cfg = self.cfg
         refresh = cfg.train.refresh_neighborhoods_every
+        refresh_s = 0.0
         if self.nbr_tables is None or (refresh and epoch % refresh == 0):
             t0 = time.perf_counter()
             self.refresh_neighborhoods()
-            self.log.log("neighborhoods", epoch=epoch,
-                         seconds=time.perf_counter() - t0)
+            refresh_s = time.perf_counter() - t0
+            self.log.log("neighborhoods", epoch=epoch, seconds=refresh_s)
 
         np_rng = np.random.default_rng(cfg.train.seed + 1000 + epoch)
         batches = self._epoch_pairs(np_rng)
@@ -692,6 +700,13 @@ class Trainer:
                 timed_s / n_timed_steps * 1e3 if n_timed_steps else float("nan")
             ),
             "num_hard": num_hard,
+            # Wall breakdown (VERDICT r4 #3): refresh_seconds makes the
+            # table-resample/pool-rebuild cost visible next to the step
+            # throughput it is otherwise hidden behind — end-to-end
+            # wall-per-epoch is refresh_seconds + step wall (+ compiles on
+            # the first epoch of each program shape).
+            "refresh_seconds": round(refresh_s, 2),
+            "step_wall_seconds": round(t_end - t0, 2),
         }
 
     # ---- inference / eval -------------------------------------------------

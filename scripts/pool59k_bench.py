@@ -185,6 +185,12 @@ def main():
                         continue
                     # Steady-state epoch (last; first includes compiles).
                     results[label] = stats_all[-1]
+        # _run_steps is jitted with STATIC self: the global jit cache pins
+        # every Trainer it ever traced, pool matrices included (a 59k
+        # hybrid A is ~7 GB) — dropping the reference alone frees nothing.
+        # Same OOM trap scripts/quality_arms.py clears between arms.
+        del tr
+        jax.clear_caches()
 
     print("== summary ==")
     for label, s in results.items():

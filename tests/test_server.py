@@ -173,3 +173,42 @@ def test_http_server_roundtrip():
     finally:
         httpd.shutdown()
         rec.close()
+
+
+@pytest.mark.parametrize("method,single", [("sharded_exact", "exact"),
+                                           ("sharded_ivf", "ivf")])
+def test_server_over_sharded_index_matches_single_chip(method, single):
+    """The production serving surface over the distributed indexes
+    (VERDICT r4 #8): BatchingRecommender's make_index wiring accepts
+    sharded_exact/sharded_ivf, but the two had never been co-executed.
+    Runs both servers over the 8-device CPU mesh corpus and asserts the
+    sharded results equal the single-chip server's.
+
+    ivf arms: exhaustive probing (nprobe = partitions) so both indexes are
+    exact and the comparison is deterministic, matching the ShardedIVFIndex
+    contract of identical results to the single-chip WeakANDIndex."""
+    from movie_recommendation_engine_tpu.config import default_config
+
+    emb = _unit_rows(256, 16, seed=5)
+    cfg = default_config()
+    cfg.search.ivf_partitions = 8
+    cfg.search.ivf_nprobe = 8
+    r_sharded = BatchingRecommender(emb, method=method, max_batch=8,
+                                    max_wait_ms=1.0, max_k=16, cfg=cfg)
+    r_single = BatchingRecommender(emb, method=single, max_batch=8,
+                                   max_wait_ms=1.0, max_k=16, cfg=cfg)
+    try:
+        for q in (3, 77, 200):
+            got = r_sharded.recommend_by_item(q, k=8)
+            want = r_single.recommend_by_item(q, k=8)
+            assert got["indices"] == want["indices"]
+            np.testing.assert_allclose(got["scores"], want["scores"],
+                                       rtol=1e-5, atol=1e-5)
+        hist = [3, 9, 40]
+        got = r_sharded.recommend_by_history(hist, k=10)
+        want = r_single.recommend_by_history(hist, k=10)
+        assert got["indices"] == want["indices"]
+        assert not set(hist) & set(got["indices"])
+    finally:
+        r_sharded.close()
+        r_single.close()
