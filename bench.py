@@ -116,6 +116,10 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=5):
         # pooled_forward_batch's HubPool dispatch reads contiguous [B, head]
         # slab rows instead of the scattered [B, K, D] gather.
         n_mats = len(nbrs) if pool == "hubf" else len(nbrs) - 1
+        pool_dtype = {
+            "bfloat16": jnp.bfloat16,
+            "float8_e4m3fn": jnp.float8_e4m3fn,
+        }[os.environ.get("MRE_BENCH_POOL_DTYPE", "bfloat16")]
         mats = []
         for n, w in zip(nbrs[:n_mats], weights[:n_mats]):
             # head=0 -> auto_head(N): the same head the Trainer's config
@@ -127,7 +131,8 @@ def bench_tpu(x, nbrs, weights, rng, pool="dense", steps=STEPS, reps=5):
             # dropped/head_mass stats printed here sanity-check the
             # production path (~1.5% / ~0.87 expected at 59k).
             hp, stats = build_hub_pool(n, w, valid_limit=num_movies,
-                                       head=0, residual=_hub_residual())
+                                       head=0, residual=_hub_residual(),
+                                       dtype=pool_dtype)
             print(f"hub pool: {stats}", file=sys.stderr)
             mats.append(hp)
         pool_mats = tuple(mats)

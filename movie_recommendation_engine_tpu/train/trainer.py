@@ -334,11 +334,20 @@ class Trainer:
                 # (~90 MB over the relay at 59k) + numpy argsorts cost
                 # 25-35 s per refresh; the jitted build costs milliseconds
                 # plus two scalar syncs (measured A/B in RESULTS.md).
+                # The scatter targets pool_dtype DIRECTLY (f8 included):
+                # neighbor ids are distinct within a row (walk RLE top-K /
+                # PPR top-K), so every slab cell is written at most once —
+                # no f8 additions ever happen; the direct build is a single
+                # f32->f8 rounding (tighter than the old bf16-then-cast
+                # double rounding) and avoids the bf16 transient that would
+                # cap the f8 head at 256k (an [N, 32768] bf16 slab is
+                # 17 GB; built in f8 it is 8.6 GB).
                 hp, stats = hub_mod.build_hub_pool_device(
                     jnp.asarray(nbrs), jnp.asarray(w),
                     valid_limit=self.valid_limit,
                     head=cfg.model.hub_pool_head,
                     residual=cfg.model.hub_pool_residual,
+                    dtype=pool_dtype,
                     # Keep the [N, H] slab row-sharded through the build —
                     # without the constraint GSPMD replicates the scatter
                     # output on every device (the per-device memory wall
@@ -367,6 +376,7 @@ class Trainer:
                             valid_limit=self.valid_limit,
                             head=cfg.model.hub_pool_head,
                             residual=r2,
+                            dtype=pool_dtype,
                             a_head_sharding=(self._row_sharding
                                              if self.mesh is not None
                                              else None),
@@ -382,8 +392,6 @@ class Trainer:
                     if impl == "auto":
                         n_block = n_hub
                     break
-                if hp.a_head.dtype != pool_dtype:
-                    hp = hp._replace(a_head=_cast_matrix(hp.a_head, pool_dtype))
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
