@@ -410,15 +410,22 @@ HBM_GBPS = 819.0              # TPU v5e peak HBM bandwidth (roofline basis)
 def _variance(rep_exps):
     """Median + spread over same-process repeats of the compiled program.
     Regression discipline (BASELINE.md): compare MEDIANS across runs, and
-    treat a drop as real only when it exceeds the larger run's spread_pct
-    (observed tunnel spread is a few percent; round-2's unexplained 20%
-    primary swing was single-shot runs with no such bound)."""
+    treat a drop as real only when it exceeds the larger run's iqr_pct
+    (spread_pct = max-min stays recorded, but a single cold rep blinds it —
+    BENCH_r03/r04 carried a ~20% max-min from exactly one cold first rep
+    while medians matched rehearsals within 0.2%; the adaptive warmup in
+    bench_tpu plus the IQR bound are the round-5 fix)."""
     med = float(np.median(rep_exps))
+    q1, q3 = np.percentile(rep_exps, [25, 75])
     return med, {
         "reps": len(rep_exps),
         "min": round(min(rep_exps), 1),
         "max": round(max(rep_exps), 1),
         "spread_pct": round((max(rep_exps) - min(rep_exps)) / med * 100, 1),
+        # Robust spread: max-min is hostage to a single cold/noisy rep even
+        # when the median is stable; the interquartile range is the bound
+        # the regression protocol should use with 5 timed reps.
+        "iqr_pct": round((q3 - q1) / med * 100, 1),
     }
 
 
