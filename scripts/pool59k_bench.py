@@ -57,6 +57,14 @@ def main():
                          "'8192:8,16383:8,16383:16') — each hub-impl "
                          "variant in --impls reruns once per pair; empty = "
                          "config defaults (auto head, residual 8)")
+    ap.add_argument("--arm", action="append", default=[], dest="arms",
+                    help="explicit arm 'impl|dtype|head:residual' (repeatable;"
+                         " dtype/shape parts optional, e.g. 'hub|float8_e4m3fn"
+                         "|32768:8' or 'hybrid'). Overrides the --impls x "
+                         "--pool-dtypes x --hub-sweep cross product, so a "
+                         "campaign runs EXACTLY the arms it wants in priority "
+                         "order — no wasted OOM arms from the product (a 256k "
+                         "bf16 h32768 slab is 17 GB and can only error)")
     ap.add_argument("--dropped-cap", type=float, default=0.05,
                     help="block impl: gather fallback above this dropped mass")
     ap.add_argument("--gather-impls", default="default",
@@ -127,6 +135,32 @@ def main():
             head, res = pair.split(":")
             hub_sweep.append((int(head), int(res)))
 
+    def parse_shape(spec):
+        head, res = spec.split(":")
+        return int(head), int(res)
+
+    # Arm list: explicit --arm specs in the given order, else the historical
+    # --impls x --pool-dtypes x --hub-sweep cross product.
+    if args.arms:
+        arm_list = []
+        for spec in args.arms:
+            parts = spec.split("|")
+            impl = parts[0]
+            pdt = parts[1] if len(parts) > 1 and parts[1] else "bfloat16"
+            shape = (parse_shape(parts[2])
+                     if len(parts) > 2 and parts[2] else None)
+            arm_list.append((impl, pdt, shape))
+    else:
+        arm_list = []
+        for impl in args.impls.split(","):
+            dtypes = (args.pool_dtypes.split(",") if impl != "gather"
+                      else ["bfloat16"])
+            base = impl[:3] == "hub"
+            shapes = hub_sweep if base else [None]
+            for pdt in dtypes:
+                for shape in shapes:
+                    arm_list.append((impl, pdt, shape))
+
     results = {}
     for gi in args.gather_impls.split(","):
         if gi != "default":
@@ -135,56 +169,49 @@ def main():
         tr = Trainer(cfg, data, MetricsLogger())
         print(f"trainer(gather_impl={tr.gather_impl}) {time.time()-t0:.1f}s",
               flush=True)
-        for impl in args.impls.split(","):
+        for name, pdt, shape in arm_list:
             # "hubf" = hub with the final layer hubbed too
             # (model.hub_pool_final_layer — batch slab rows instead of the
             # scattered [B, K, D] gather).
-            hub_final = impl == "hubf"
-            if hub_final:
-                impl = "hub"
+            hub_final = name == "hubf"
+            impl = "hub" if hub_final else name
             tr.cfg.model.hub_pool_final_layer = hub_final
-            dtypes = (args.pool_dtypes.split(",") if impl != "gather"
-                      else ["bfloat16"])
-            shapes = hub_sweep if impl == "hub" else [None]
-            name = "hubf" if hub_final else impl
-            for pdt in dtypes:
-                for shape in shapes:
-                    label = name if pdt == "bfloat16" else f"{name}/{pdt}"
-                    if shape is not None:
-                        tr.cfg.model.hub_pool_head = shape[0]
-                        tr.cfg.model.hub_pool_residual = shape[1]
-                        label = f"{label}/h{shape[0]}r{shape[1]}"
-                    if gi != "default":
-                        label = f"{label}/{tr.gather_impl}"
-                    tr.cfg.model.pool_impl = impl
-                    tr.cfg.model.pool_matrix_dtype = pdt
-                    tr.nbr_tables = None  # force refresh (rebuilds pool_mats)
-                    tr.pool_mats = ()
-                    stats_all = []
-                    try:
-                        for i in range(args.epochs):
-                            epoch = (args.pin_epoch
-                                     if args.pin_epoch is not None
-                                     else args.epoch_offset + i)
-                            t0 = time.time()
-                            stats = tr.train_epoch(epoch)
-                            stats["wall_s"] = round(time.time() - t0, 2)
-                            stats["impl"] = label
-                            stats["epoch"] = epoch
-                            print(json.dumps(stats, default=float), flush=True)
-                            stats_all.append(stats)
-                    except Exception as e:
-                        # One arm must not sink the rest (a 256k hubf arm
-                        # OOMed and lost the remaining sweep in round 4).
-                        print(json.dumps({"impl": label,
-                                          "error": f"{type(e).__name__}: "
-                                                   f"{e}"[:400]}),
-                              flush=True)
-                        tr.nbr_tables = None
-                        tr.pool_mats = ()
-                        continue
-                    # Steady-state epoch (last; first includes compiles).
-                    results[label] = stats_all[-1]
+            label = name if pdt == "bfloat16" else f"{name}/{pdt}"
+            if shape is not None:
+                tr.cfg.model.hub_pool_head = shape[0]
+                tr.cfg.model.hub_pool_residual = shape[1]
+                label = f"{label}/h{shape[0]}r{shape[1]}"
+            if gi != "default":
+                label = f"{label}/{tr.gather_impl}"
+            tr.cfg.model.pool_impl = impl
+            tr.cfg.model.pool_matrix_dtype = pdt
+            tr.nbr_tables = None  # force refresh (rebuilds pool_mats)
+            tr.pool_mats = ()
+            stats_all = []
+            try:
+                for i in range(args.epochs):
+                    epoch = (args.pin_epoch
+                             if args.pin_epoch is not None
+                             else args.epoch_offset + i)
+                    t0 = time.time()
+                    stats = tr.train_epoch(epoch)
+                    stats["wall_s"] = round(time.time() - t0, 2)
+                    stats["impl"] = label
+                    stats["epoch"] = epoch
+                    print(json.dumps(stats, default=float), flush=True)
+                    stats_all.append(stats)
+            except Exception as e:
+                # One arm must not sink the rest (a 256k hubf arm
+                # OOMed and lost the remaining sweep in round 4).
+                print(json.dumps({"impl": label,
+                                  "error": f"{type(e).__name__}: "
+                                           f"{e}"[:400]}),
+                      flush=True)
+                tr.nbr_tables = None
+                tr.pool_mats = ()
+                continue
+            # Steady-state epoch (last; first includes compiles).
+            results[label] = stats_all[-1]
         # _run_steps is jitted with STATIC self: the global jit cache pins
         # every Trainer it ever traced, pool matrices included (a 59k
         # hybrid A is ~7 GB) — dropping the reference alone frees nothing.
