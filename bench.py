@@ -453,23 +453,32 @@ def bench_at_scale():
     # traffic is the head slab (fwd+bwd) + the residual row gather (fwd +
     # scatter-add bwd). (Activations/tables are ~1% at this scale.)
     if pool in ("hub", "hubf"):
+        import jax.numpy as jnp
+
         from movie_recommendation_engine_tpu import default_config
         from movie_recommendation_engine_tpu.ops.hub_pool import auto_head
 
         # Same formula/knobs the builder uses (ops/hub_pool.auto_head +
         # config defaults) so the roofline can't drift from the measured
-        # configuration if auto-scaling changes.
+        # configuration if auto-scaling changes. The slab itemsize follows
+        # MRE_BENCH_POOL_DTYPE (auto_head's cap is byte-denominated, so an
+        # f8 slab may have MORE columns at the same byte footprint).
         mcfg = default_config().model
+        slab_dtype = {
+            "bfloat16": jnp.bfloat16,
+            "float8_e4m3fn": jnp.float8_e4m3fn,
+        }[os.environ.get("MRE_BENCH_POOL_DTYPE", "bfloat16")]
+        slab_isz = jnp.dtype(slab_dtype).itemsize
         head = (mcfg.hub_pool_head if mcfg.hub_pool_head > 0
-                else auto_head(AT_SCALE_MOVIES))
+                else auto_head(AT_SCALE_MOVIES, slab_dtype))
         residual = _hub_residual()
-        bytes_per_step = (2 * AT_SCALE_MOVIES * head * 2
+        bytes_per_step = (2 * AT_SCALE_MOVIES * head * slab_isz
                           + 2 * AT_SCALE_MOVIES * residual * HIDDEN * 2)
         if pool == "hubf":
             # The hubbed final layer swaps the [B, K, D] scattered gather
             # for batch slab rows + batch residual (fwd + bwd each).
             b_total = 2 * BATCH + NUM_RAND_NEG + BATCH * NUM_HARD
-            bytes_per_step += (2 * b_total * head * 2
+            bytes_per_step += (2 * b_total * head * slab_isz
                                + 2 * b_total * residual * HIDDEN * 2)
     else:
         bytes_per_step = 2 * AT_SCALE_MOVIES * AT_SCALE_MOVIES * 2

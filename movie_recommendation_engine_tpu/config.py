@@ -99,9 +99,11 @@ class ModelConfig:
     dense_pool_hybrid_max_rows: int = 65536
     # Hub pooling shape knobs (pool_impl="hub"/auto-at-scale).
     # head: dense head columns (by pooling mass). 0 = auto-scale with the
-    # corpus — clip(N/8, 4096, 16384); measured dropped mass at
-    # residual=8: 0.5% @ 16k/head4096, 0.7% @ 59k/head8192
-    # (scripts/block_order_probe.py) vs 6.2% with a fixed 4096 head at 59k.
+    # corpus — clip(N/8, 4096, cap) where the cap is 32 KB of slab per row
+    # (16384 cols bf16, 32768 cols float8 — ops/hub_pool.auto_head);
+    # measured dropped mass at residual=8: 0.5% @ 16k/head4096, 0.7% @
+    # 59k/head8192 (scripts/block_order_probe.py) vs 6.2% with a fixed
+    # 4096 head at 59k.
     hub_pool_head: int = 0
     hub_pool_residual: int = 8           # per-row top non-head entries kept
     # Use the hub factorization for the FINAL (batch-restricted) layer too:
@@ -139,7 +141,11 @@ class ModelConfig:
     # step: A @ h forward, A^T @ g backward) — "float8_e4m3fn" halves that
     # traffic. Pool weights are coarse visit-count fractions (100 walks), so
     # e4m3's ~6% relative step is below the sampling noise; rows are
-    # renormalized before quantization.
+    # renormalized before quantization. For hub pooling f8 is a CAPACITY
+    # lever too: auto_head's byte cap admits twice the head columns, so at
+    # 256k rows the head is N/8 = 32768 (vs bf16's N/16) at the same 8.6 GB
+    # slab footprint — the difference between passing the dropped-mass gate
+    # at residual=8 and paying the x2 residual escalation.
     pool_matrix_dtype: str = "bfloat16"  # bfloat16 | float8_e4m3fn
     # Gather-form pooling implementation used wherever pooling is NOT a dense
     # matrix (the final hybrid layer's batch gather, pool_impl="gather", block

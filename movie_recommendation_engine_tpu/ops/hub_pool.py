@@ -40,12 +40,20 @@ import numpy as np
 _EPS = 1e-12
 
 
-def auto_head(n: int) -> int:
+def auto_head(n: int, dtype=jnp.bfloat16) -> int:
     """Head width used when ``head <= 0`` (config.ModelConfig.hub_pool_head):
     a fixed 4096 head drops 6.2% of mass at 59k rows; N/8 keeps the drop
-    under ~1% through the measured range, capped for HBM. Single source of
-    truth — bench.py's roofline model must use the same formula."""
-    return min(max(4096, n // 8), 16384)
+    under ~1% through the measured range, capped for HBM. The cap is
+    BYTE-denominated (32 KB of slab per row — 16384 cols in bf16), so an f8
+    slab (``pool_matrix_dtype=float8_e4m3fn``) admits twice the columns at
+    the same HBM footprint: at 256k rows that is head N/8 = 32768 where bf16
+    caps at N/16 = 16384 — exactly the capacity margin that decides whether
+    the r8 residual passes the 5% dropped-mass gate without escalation
+    (measured at 256k: bf16 h16384 r8 drops 5.17%, RESULTS.md ladder).
+    Single source of truth — bench.py's roofline model must use the same
+    formula."""
+    cap = 32768 // max(1, jnp.dtype(dtype).itemsize)
+    return min(max(4096, n // 8), cap)
 
 
 class HubPool(NamedTuple):
@@ -75,7 +83,7 @@ def build_hub_pool(
     weights = np.asarray(weights, np.float32)
     n, k = nbrs.shape
     if head <= 0:
-        head = auto_head(n)
+        head = auto_head(n, dtype)
     h = int(min(head, n))
     r = int(min(residual, k))
 
@@ -225,7 +233,7 @@ def build_hub_pool_device(
     weights)."""
     n, k = nbrs.shape
     if head <= 0:
-        head = auto_head(n)
+        head = auto_head(n, dtype)
     if residual <= 0:   # degenerate config: host builder handles r=0
         return build_hub_pool(np.asarray(nbrs), np.asarray(weights),
                               valid_limit=valid_limit, head=head,

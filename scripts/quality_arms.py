@@ -149,6 +149,14 @@ def main():
                   f"val {tr.best_metric:.4f})", flush=True)
         final = tr.evaluate()
         throughput = [h["examples_per_sec"] for h in fit["history"]]
+        # Wall breakdown (VERDICT r4 #3): steady-state step throughput hides
+        # the refresh share of wall time — record both so the RESULTS rows
+        # carry the honest end-to-end cost per epoch.
+        refresh_med = float(np.nanmedian(
+            [h.get("refresh_seconds", float("nan")) for h in fit["history"]]))
+        stepwall_med = float(np.nanmedian(
+            [h.get("step_wall_seconds", float("nan"))
+             for h in fit["history"]]))
         report = {
             "arm": label,
             "overrides": overrides,
@@ -156,6 +164,8 @@ def main():
             "max_pairs": max_pairs,
             "train_seconds": round(train_s, 1),
             "examples_per_sec_median": float(np.nanmedian(throughput)),
+            "refresh_seconds_median": round(refresh_med, 2),
+            "step_wall_seconds_median": round(stepwall_med, 2),
             "trained": final,
         }
         print(json.dumps(report, default=float), flush=True)
@@ -167,7 +177,13 @@ def main():
             f.write(f"- overrides: `{ov or '(defaults)'}`; {epochs} epochs x "
                     f"{max_pairs} pairs; {report['train_seconds']}s "
                     f"(median {report['examples_per_sec_median']:.0f} "
-                    f"examples/s); test pairs {final.get('num_pairs', '?')}\n\n")
+                    f"examples/s); test pairs {final.get('num_pairs', '?')}\n")
+            f.write(f"- wall/epoch median: refresh "
+                    f"{report['refresh_seconds_median']}s + steps "
+                    f"{report['step_wall_seconds_median']}s "
+                    f"(total wall {report['train_seconds']}s / {epochs} "
+                    f"epochs = {report['train_seconds'] / epochs:.1f}s — "
+                    f"the remainder is eval + compiles)\n\n")
             f.write("| metric | trained PinSage |\n|---|---|\n")
             for k in ("hit_rate@10", "hit_rate@50", "hit_rate@100",
                       "hit_rate@500", "mrr", "mrr_standard"):

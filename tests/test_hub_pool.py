@@ -227,6 +227,12 @@ def test_auto_head_formula():
     assert hub.auto_head(16_000) == 4096       # floor
     assert hub.auto_head(59_392) == 7424       # N/8
     assert hub.auto_head(131_072) == 16384     # cap
+    # The cap is BYTE-denominated (32 KB/row): an f8 slab admits twice the
+    # columns at the same HBM footprint — at 256k that is N/8 = 32768 where
+    # bf16 caps at N/16 (the capacity lever behind pool_matrix_dtype=f8).
+    assert hub.auto_head(262_144) == 16384
+    assert hub.auto_head(262_144, jnp.float8_e4m3fn) == 32768
+    assert hub.auto_head(59_392, jnp.float8_e4m3fn) == 7424  # uncapped: same
     _, stats = hub.build_hub_pool(*_tables(n=64, k=5, d=4)[:2],
                                   valid_limit=64, head=0, residual=2)
     assert stats["head_cols"] == min(hub.auto_head(64), 64)
