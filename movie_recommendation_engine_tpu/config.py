@@ -320,6 +320,14 @@ class MeshConfig:
     mesh_shape: tuple[int, int] | None = None
     # Shard node feature / embedding tables by row across the model axis.
     shard_tables: bool = False
+    # Row-shard the O(E) walk CSR over the model axis too (with
+    # shard_tables): in-step hard-negative walks and table refreshes run
+    # the masked-psum sharded walk (sampling/sharded_walk.py, bit-identical
+    # to the replicated walk) instead of copying the full CSR to every
+    # device — the 10M-item regime's ~11 GiB/chip replicated-graph wall
+    # (docs/DESIGN.md). Only applies to walk.strategy=random_walk; the PPR
+    # builder still needs the replicated edge arrays.
+    shard_graph: bool = True
 
 
 @dataclass

@@ -100,9 +100,8 @@ def _weighted_next_hop(
     return nxt, deg > 0
 
 
-@partial(jax.jit, static_argnames=("num_walks", "walk_length", "n_iters"))
 def random_walks(
-    graph: DeviceGraph,
+    graph,
     starts: jax.Array,        # [B] int32 start nodes
     key: jax.Array,
     num_walks: int,
@@ -112,7 +111,30 @@ def random_walks(
     """All visited nodes of ``num_walks`` weighted walks of ``walk_length``
     steps from each start. Returns [B, num_walks * walk_length] int32 with the
     sentinel at halted positions. Start nodes themselves are not recorded
-    (reference counts walk[1:], random_walk.py:103)."""
+    (reference counts walk[1:], random_walk.py:103).
+
+    ``graph`` may be a replicated ``DeviceGraph`` or a row-sharded
+    ``ShardedDeviceGraph`` (sampling/sharded_walk.py) — the sharded walk is
+    bit-identical, so every caller (hard-negative sampling, table refresh)
+    transparently supports a sharded CSR."""
+    if not isinstance(graph, DeviceGraph):
+        from .sharded_walk import sharded_random_walks
+
+        return sharded_random_walks(graph, starts, key, num_walks,
+                                    walk_length, n_iters)
+    return _random_walks_jit(graph, starts, key, num_walks, walk_length,
+                             n_iters)
+
+
+@partial(jax.jit, static_argnames=("num_walks", "walk_length", "n_iters"))
+def _random_walks_jit(
+    graph: DeviceGraph,
+    starts: jax.Array,
+    key: jax.Array,
+    num_walks: int,
+    walk_length: int,
+    n_iters: int,
+) -> jax.Array:
     b = starts.shape[0]
     w = num_walks
     sentinel = graph.sentinel
