@@ -325,8 +325,8 @@ class MeshConfig:
     # the masked-psum sharded walk (sampling/sharded_walk.py, bit-identical
     # to the replicated walk) instead of copying the full CSR to every
     # device — the 10M-item regime's ~11 GiB/chip replicated-graph wall
-    # (docs/DESIGN.md). Only applies to walk.strategy=random_walk; the PPR
-    # builder still needs the replicated edge arrays.
+    # (docs/DESIGN.md). The PPR strategy shards too (local edge push +
+    # frontier psum; float-tolerance equal to the replicated form).
     shard_graph: bool = True
 
 

@@ -26,15 +26,35 @@ from ..graph.csr import CSRGraph
 from .random_walk import DeviceGraph
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "num_iterations", "alpha"))
 def ppr_scores(
+    graph,
+    sources: jax.Array,      # [B] int32
+    num_nodes: int,
+    alpha: float = 0.15,
+    num_iterations: int = 10,
+) -> jax.Array:
+    """[B, num_nodes] approximate PPR mass per source.
+
+    ``graph`` may be a replicated ``DeviceGraph`` or a row-sharded
+    ``ShardedDeviceGraph`` — the sharded form pushes along local edge slices
+    and psums the frontier (float-tolerance equal; see sharded_walk)."""
+    if not isinstance(graph, DeviceGraph):
+        from .sharded_walk import sharded_ppr_scores
+
+        return sharded_ppr_scores(graph, sources, num_nodes, alpha=alpha,
+                                  num_iterations=num_iterations)
+    return _ppr_scores_jit(graph, sources, num_nodes, alpha=alpha,
+                           num_iterations=num_iterations)
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "num_iterations", "alpha"))
+def _ppr_scores_jit(
     graph: DeviceGraph,
     sources: jax.Array,      # [B] int32
     num_nodes: int,
     alpha: float = 0.15,
     num_iterations: int = 10,
 ) -> jax.Array:
-    """[B, num_nodes] approximate PPR mass per source."""
     b = sources.shape[0]
     # Per-edge row-normalized weights.
     src_of_edge = jnp.repeat(

@@ -193,3 +193,63 @@ def sharded_random_walks(
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P()),
         out_specs=P(), check_vma=False,
     )(graph.indptr, graph.indices, graph.cumprob, starts, key)
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "num_iterations", "alpha"))
+def sharded_ppr_scores(
+    graph: ShardedDeviceGraph,
+    sources: jax.Array,      # [B] int32, replicated
+    num_nodes: int,
+    alpha: float = 0.15,
+    num_iterations: int = 10,
+) -> jax.Array:
+    """``ppr.ppr_scores`` on a sharded graph: each shard pushes residual
+    mass along ITS edge slice (local row-normalization is exact — rows never
+    split across shards) and one psum merges the [B, N] pushed frontier.
+    Per-iteration traffic is the replicated frontier (B x N f32 — size the
+    ``walk.ppr_batch`` accordingly), never the O(E) edge arrays. Summation
+    order differs from the replicated form, so scores match to float
+    tolerance rather than bit-exactly (ties in downstream top-k may resolve
+    differently on exactly-equal scores)."""
+    c = graph.rows_per_shard
+    axis = graph.axis
+    emax = graph.indices.shape[1]
+
+    def local(ip, ind, w, sources_rep):
+        ip, ind, w = ip[0], ind[0], w[0]
+        shard = jax.lax.axis_index(axis)
+        row0 = shard * c
+        # Edge e belongs to the local row j with ip[j] <= e < ip[j+1];
+        # padding edges (e >= ip[-1]) clip to the last row and carry weight
+        # 0, so their messages vanish.
+        src_local = jnp.clip(
+            jnp.searchsorted(ip, jnp.arange(emax, dtype=jnp.int32),
+                             side="right") - 1,
+            0, c - 1).astype(jnp.int32)
+        row_sum = jax.ops.segment_sum(w, src_local, num_segments=c)
+        wnorm = w / jnp.maximum(jnp.take(row_sum, src_local), 1e-12)
+        src_global = src_local + row0
+
+        r = jax.nn.one_hot(sources_rep, num_nodes, dtype=jnp.float32)
+        ppr = jnp.zeros_like(r)
+
+        def body(_, state):
+            ppr, r = state
+            ppr = ppr + alpha * r
+            msg = r[:, src_global] * wnorm[None, :]              # [B, Emax]
+            pushed = jax.vmap(
+                lambda m: jax.ops.segment_sum(m, ind,
+                                              num_segments=num_nodes)
+            )(msg)
+            pushed = jax.lax.psum(pushed, axis)
+            r = (1.0 - alpha) * pushed
+            return ppr, r
+
+        ppr, _ = jax.lax.fori_loop(0, num_iterations, body, (ppr, r))
+        return ppr
+
+    return shard_map(
+        local, mesh=graph.mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P()),
+        out_specs=P(), check_vma=False,
+    )(graph.indptr, graph.indices, graph.weights, sources)

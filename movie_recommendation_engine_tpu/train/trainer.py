@@ -221,14 +221,14 @@ class Trainer:
                 xt, _ = mesh_mod.pad_to_multiple(np.asarray(self.x_table), model_size)
                 self.x_table = jax.device_put(jnp.asarray(xt), self._row_sharding)
                 self.table_rows = int(xt.shape[0])
-                if cfg.mesh.shard_graph and cfg.walk.strategy == "random_walk":
+                if cfg.mesh.shard_graph:
                     # Row-shard the O(E) CSR too — the replicated DeviceGraph
                     # is otherwise the per-chip memory wall at the 10M-item
                     # regime (~11 GiB/chip, docs/DESIGN.md). The sharded walk
                     # is bit-identical (sampling/sharded_walk.py), so the
                     # in-step hard-negative walks and refreshes are unchanged
-                    # numerically. PPR still reads the replicated edge
-                    # arrays, hence the strategy gate.
+                    # numerically; the PPR strategy pushes along local edge
+                    # slices + a frontier psum (float-tolerance equal).
                     from ..sampling import sharded_walk as sw
 
                     self.graph = sw.sharded_device_graph(

@@ -76,6 +76,40 @@ def test_sharded_neighborhood_tables_match(mesh42, csr_graph):
         np.testing.assert_array_equal(np.asarray(w_r), np.asarray(w_s))
 
 
+def test_sharded_ppr_scores_match(mesh42, csr_graph):
+    """Sharded PPR pushes along local edge slices + frontier psum; scores
+    equal the replicated power iteration to float tolerance."""
+    from movie_recommendation_engine_tpu.sampling import ppr
+
+    g_rep = rw.device_graph(csr_graph)
+    g_sh = sw.sharded_device_graph(csr_graph, mesh42, axis="model")
+    n = csr_graph.num_nodes
+    sources = jnp.asarray([0, 3, 50, 199], jnp.int32)
+    s_rep = np.asarray(ppr.ppr_scores(g_rep, sources, n, num_iterations=6))
+    s_sh = np.asarray(ppr.ppr_scores(g_sh, sources, n, num_iterations=6))
+    np.testing.assert_allclose(s_rep, s_sh, atol=1e-6)
+    # Mass conservation carries over: total ppr mass per source <= 1.
+    assert (s_sh.sum(axis=1) <= 1.0 + 1e-5).all()
+
+
+def test_trainer_mesh_ppr_strategy_sharded(tiny_data, tmp_path):
+    """walk.strategy=ppr under the mesh trains on the sharded graph."""
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    cfg, data = tiny_data
+    cfg = cfg.override({
+        "train.epochs": 1, "train.max_pairs_per_epoch": 64,
+        "train.batch_size": 32, "walk.strategy": "ppr",
+        "walk.ppr_batch": 64, "mesh.shard_tables": True,
+        "paths.checkpoint_dir": str(tmp_path / "p"),
+    })
+    cfg.mesh.mesh_shape = (2, 4)
+    tr = Trainer(cfg, data)
+    assert isinstance(tr.graph, sw.ShardedDeviceGraph)
+    out = tr.fit()
+    assert np.isfinite(out["history"][0]["loss"])
+
+
 def test_trainer_mesh_shards_graph_and_matches(tiny_data, tmp_path):
     """Trainer with mesh+shard_tables row-shards the CSR (shard_graph
     default) and the run matches the replicated-graph run exactly — the
