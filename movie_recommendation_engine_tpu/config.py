@@ -113,9 +113,12 @@ class ModelConfig:
     # bottleneck breakdown). Costs the hub's ~1% dropped pooling mass on
     # that layer as well. False = final layer keeps the exact K-neighbor
     # gather (the pre-round-4 behavior). HBM note: this builds a SECOND
-    # [N, head] slab — at 256k rows two 8.6 GB slabs exceed v5e HBM
-    # (measured OOM, RESULTS.md); the form fits up to ~131k rows at the
-    # 16384 auto head.
+    # [N, head] slab — at 256k rows two 8.6 GB bf16 slabs exceed v5e HBM
+    # (measured OOM, RESULTS.md); bf16 fits up to ~131k rows at the 16384
+    # auto head. In f8 at head 16384 the pair is 2 x 4.3 GB and FITS at
+    # 256k (measured round 5: 106.8 ms/step — the fastest 256k form — at
+    # 5.19%/layer dropped, so the gate escalates unless the residual or
+    # head is tuned).
     hub_pool_final_layer: bool = False
     # Fall back (hub -> block under auto, else gather) when the hub
     # factorization would drop more than this fraction of pooling weight.
@@ -144,9 +147,13 @@ class ModelConfig:
     # renormalized before quantization. For hub pooling f8 is a CAPACITY
     # lever too: auto_head's byte cap admits twice the head columns, so at
     # 256k rows the head is N/8 = 32768 (vs bf16's N/16) at the same 8.6 GB
-    # slab footprint — the difference between passing the dropped-mass gate
-    # at residual=8 and paying the x2 residual escalation.
-    pool_matrix_dtype: str = "bfloat16"  # bfloat16 | float8_e4m3fn
+    # slab footprint — measured (round-5 256k ladder): 0.65% dropped mass
+    # at residual=8, 139 ms/step, vs bf16's 5.17% at r8 forcing the x2
+    # escalation to 193 ms. "auto" (default) selects f8 exactly there —
+    # hub rung, auto head, bf16 cap binding (n > 131072) — and bf16
+    # everywhere else (same-head f8 measured speed-neutral: the step is
+    # not slab-read-bound). ops/hub_pool.resolve_pool_matrix_dtype.
+    pool_matrix_dtype: str = "auto"  # auto | bfloat16 | float8_e4m3fn
     # Gather-form pooling implementation used wherever pooling is NOT a dense
     # matrix (the final hybrid layer's batch gather, pool_impl="gather", block
     # fallback): "xla" = gather + einsum (materializes [B, K, D] in HBM);

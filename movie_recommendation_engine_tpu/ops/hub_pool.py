@@ -56,6 +56,31 @@ def auto_head(n: int, dtype=jnp.bfloat16) -> int:
     return min(max(4096, n // 8), cap)
 
 
+def resolve_pool_matrix_dtype(choice: str, n_rows: int, rung: str,
+                              head_cfg: int = 0):
+    """Resolve ``config.ModelConfig.pool_matrix_dtype`` to a jnp dtype.
+
+    ``"auto"`` picks float8 exactly where it is a CAPACITY lever: the hub
+    rung with the bf16 byte cap binding (``auto_head`` capped — n > 131072
+    at the 32 KB/row budget) and the head not pinned by config. Measured at
+    256k (RESULTS.md round-5 ladder): f8 admits head N/8 = 32768 at the
+    same 8.6 GB slab, dropping 0.65% of mass at residual=8 — gate-passing
+    at 139 ms/step where bf16 needs the x2 residual escalation (193 ms).
+    Everywhere else bf16: at the same head f8 measured speed-neutral
+    (109.7 vs 111.3 ms at 256k; ~0 at 59k — the step is not slab-read
+    bound) and bf16 quantizes the coarse visit-count weights finer."""
+    if choice == "auto":
+        if (rung == "hub" and head_cfg <= 0
+                and auto_head(n_rows, jnp.float8_e4m3fn)
+                > auto_head(n_rows, jnp.bfloat16)):
+            return jnp.float8_e4m3fn
+        return jnp.bfloat16
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float8_e4m3fn": jnp.float8_e4m3fn,
+    }[choice]
+
+
 class HubPool(NamedTuple):
     """Pytree of device arrays (all leaves traced through jit)."""
 

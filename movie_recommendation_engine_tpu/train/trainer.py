@@ -336,10 +336,9 @@ class Trainer:
         if n_hub:
             from ..ops import hub_pool as hub_mod
 
-            pool_dtype = {
-                "bfloat16": jnp.bfloat16,
-                "float8_e4m3fn": jnp.float8_e4m3fn,
-            }[cfg.model.pool_matrix_dtype]
+            pool_dtype = hub_mod.resolve_pool_matrix_dtype(
+                cfg.model.pool_matrix_dtype, self.table_rows, "hub",
+                head_cfg=cfg.model.hub_pool_head)
             mats = []
             for nbrs, w in tables[:n_hub]:
                 # Device-side build: the host builder's walk-table download
@@ -437,10 +436,10 @@ class Trainer:
                 self.log.log("block_cluster",
                              order=cfg.model.block_pool_order,
                              seconds=time.perf_counter() - t0)
-            pool_dtype = {
-                "bfloat16": jnp.bfloat16,
-                "float8_e4m3fn": jnp.float8_e4m3fn,
-            }[cfg.model.pool_matrix_dtype]
+            from ..ops.hub_pool import resolve_pool_matrix_dtype
+
+            pool_dtype = resolve_pool_matrix_dtype(
+                cfg.model.pool_matrix_dtype, self.table_rows, "block")
             mats = []
             for nbrs, w in tables[:n_block]:
                 bp, stats = bsp.build_block_pool(
@@ -479,10 +478,10 @@ class Trainer:
             self.pool_mats = tuple(mats)
             return
         if n_dense:
-            pool_dtype = {
-                "bfloat16": jnp.bfloat16,
-                "float8_e4m3fn": jnp.float8_e4m3fn,
-            }[cfg.model.pool_matrix_dtype]
+            from ..ops.hub_pool import resolve_pool_matrix_dtype
+
+            pool_dtype = resolve_pool_matrix_dtype(
+                cfg.model.pool_matrix_dtype, self.table_rows, "dense")
             mats = []
             for nbrs, w in tables[:n_dense]:
                 a = pinsage.build_pool_matrix(

@@ -239,6 +239,23 @@ def test_auto_head_formula():
     assert "a_bytes_built" in stats
 
 
+def test_resolve_pool_matrix_dtype_auto():
+    """'auto' picks f8 exactly where the bf16 head cap binds (hub rung,
+    auto head, n > 131072) — the measured 256k capacity lever — and bf16
+    everywhere else."""
+    r = hub.resolve_pool_matrix_dtype
+    assert r("auto", 59_392, "hub") == jnp.bfloat16       # cap not binding
+    assert r("auto", 131_072, "hub") == jnp.bfloat16      # boundary: equal
+    assert r("auto", 262_144, "hub") == jnp.float8_e4m3fn
+    assert r("auto", 262_144, "hub", head_cfg=16384) == jnp.bfloat16
+    assert r("auto", 262_144, "dense") == jnp.bfloat16    # not the hub rung
+    assert r("auto", 262_144, "block") == jnp.bfloat16
+    assert r("bfloat16", 262_144, "hub") == jnp.bfloat16  # explicit wins
+    assert r("float8_e4m3fn", 59_392, "hub") == jnp.float8_e4m3fn
+    with pytest.raises(KeyError):
+        r("float16", 1000, "hub")
+
+
 def test_hub_dropped_mass_cap_dedicated_knob(tmp_path):
     """hub_pool_max_dropped_mass >= 0 overrides the block threshold for the
     hub fallback decision (default -1 inherits it)."""
