@@ -120,6 +120,20 @@ class ModelConfig:
     # 5.19%/layer dropped, so the gate escalates unless the residual or
     # head is tuned).
     hub_pool_final_layer: bool = False
+    # When pool_impl=auto resolves to the hub rung, ALSO hub the final
+    # layer (hub_pool_final_layer semantics) if the full slab set fits
+    # auto_hub_final_max_bytes. Measured at 59k: hubf 19.3 ms/step vs hub
+    # 24.3 / hybrid 28.4; at 128k: 50.4 vs 53.4 (RESULTS.md). The
+    # per-layer dropped-mass gate still protects quality (escalation /
+    # fallback applies to the final layer too). Set false to keep auto on
+    # the exact-final-layer hub form.
+    auto_hub_final: bool = True
+    # Capacity budget for that auto decision: sum of [N, head] slab bytes
+    # over all layers. 10 GiB admits the measured-fitting pairs (2 x
+    # 4.3 GB at <=131k bf16) and rejects the measured-OOM ones (2 x
+    # 8.6 GB at 256k) with headroom for tables + activations on 16 GiB
+    # v5e.
+    auto_hub_final_max_bytes: int = 10 << 30
     # Fall back (hub -> block under auto, else gather) when the hub
     # factorization would drop more than this fraction of pooling weight.
     # Negative = inherit block_pool_max_dropped_mass (one shared threshold

@@ -331,8 +331,29 @@ class Trainer:
                     # hub_pool_final_layer: hub the batch-restricted final
                     # layer too (contiguous [B, head] slab rows instead of
                     # the scattered [B, K, D] gather — ops/hub_pool.py).
-                    n_hub = (n_layers if cfg.model.hub_pool_final_layer
-                             else n_layers - 1)
+                    hub_final = cfg.model.hub_pool_final_layer
+                    if (impl == "auto" and cfg.model.auto_hub_final
+                            and not hub_final):
+                        # Auto-enable the hubbed final layer when the full
+                        # slab set fits the capacity budget (measured: 2 x
+                        # 4.3 GB fits v5e at <=131k bf16 / hubf-f8-16384;
+                        # 2 x 8.6 GB OOMs at 256k). The per-layer dropped-
+                        # mass gate below still protects quality.
+                        from ..ops.hub_pool import (auto_head,
+                                                    resolve_pool_matrix_dtype)
+
+                        dt = resolve_pool_matrix_dtype(
+                            cfg.model.pool_matrix_dtype, self.table_rows,
+                            "hub", head_cfg=cfg.model.hub_pool_head)
+                        head = (cfg.model.hub_pool_head
+                                if cfg.model.hub_pool_head > 0
+                                else auto_head(self.table_rows, dt))
+                        slab_bytes = (n_layers * self.table_rows
+                                      * min(head, self.table_rows)
+                                      * jnp.dtype(dt).itemsize)
+                        hub_final = (slab_bytes
+                                     <= cfg.model.auto_hub_final_max_bytes)
+                    n_hub = n_layers if hub_final else n_layers - 1
         if n_hub:
             from ..ops import hub_pool as hub_mod
 

@@ -239,6 +239,40 @@ def test_auto_head_formula():
     assert "a_bytes_built" in stats
 
 
+def test_auto_hub_final_capacity_gate(tiny_data, tmp_path):
+    """pool_impl=auto at the hub rung hubs the FINAL layer too when the
+    slab set fits auto_hub_final_max_bytes (measured 59k/128k win), and
+    keeps the exact final-layer gather when the budget or the knob says
+    no (the 256k bf16 OOM regime)."""
+    from movie_recommendation_engine_tpu.train.trainer import Trainer
+
+    base_cfg, data = tiny_data
+
+    def pool_mats_for(**over):
+        cfg = base_cfg.override({
+            "model.pool_impl": "auto",
+            "model.dense_pool_max_rows": 16,
+            "model.dense_pool_hybrid_max_rows": 16,
+            "model.hub_pool_max_dropped_mass": 1.0,
+            "paths.checkpoint_dir": str(tmp_path),
+            **over,
+        })
+        tr = Trainer(cfg, data)
+        tr.refresh_neighborhoods()
+        return tr.pool_mats
+
+    mats = pool_mats_for()
+    assert len(mats) == 2 and all(isinstance(m, hub.HubPool) for m in mats)
+    mats = pool_mats_for(**{"model.auto_hub_final_max_bytes": 0})
+    assert len(mats) == 1
+    mats = pool_mats_for(**{"model.auto_hub_final": False})
+    assert len(mats) == 1
+    # Explicit hub_pool_final_layer is independent of the auto knob.
+    mats = pool_mats_for(**{"model.auto_hub_final": False,
+                            "model.hub_pool_final_layer": True})
+    assert len(mats) == 2
+
+
 def test_resolve_pool_matrix_dtype_auto():
     """'auto' picks f8 exactly where the bf16 head cap binds (hub rung,
     auto head, n > 131072) — the measured 256k capacity lever — and bf16
