@@ -34,6 +34,12 @@ class DataConfig:
     synthetic_num_movies: int = 4000
     synthetic_num_users: int = 12000
     synthetic_num_ratings: int = 400_000
+    # Corpus seed for the synthetic generator. -1 = follow train.seed (the
+    # historical behavior). Pin it when sweeping train.seed so every arm
+    # trains on the SAME corpus — otherwise changing train.seed silently
+    # changes the dataset too and cross-arm metric deltas confound
+    # (corpus + init) with the thing being A/B'd.
+    synthetic_seed: int = -1
 
 
 @dataclass

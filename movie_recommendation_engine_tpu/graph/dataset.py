@@ -180,7 +180,8 @@ def load_synthetic(cfg: Config) -> MovieLensData:
         num_movies=cfg.data.synthetic_num_movies,
         num_users=cfg.data.synthetic_num_users,
         num_ratings=cfg.data.synthetic_num_ratings,
-        seed=cfg.train.seed,
+        seed=(cfg.data.synthetic_seed if cfg.data.synthetic_seed >= 0
+              else cfg.train.seed),
     )
     return _from_columns(raw, cfg)
 

@@ -191,3 +191,26 @@ def test_csv_load_with_links_and_rating_edge_cases(tmp_path):
     assert data.imdb_ids[lut[20]] == 222
     assert data.tmdb_ids[lut[20]] == -1
     assert data.tmdb_ids[lut[30]] == 3030
+
+
+def test_synthetic_seed_pins_corpus_independently_of_train_seed():
+    """data.synthetic_seed decouples the corpus from train.seed: sweeping
+    train seeds on a pinned corpus changes ONLY the training RNG, so
+    cross-arm metric deltas don't confound corpus with init (the round-5
+    quality-batch fix)."""
+    from movie_recommendation_engine_tpu.config import small_test_config
+    from movie_recommendation_engine_tpu.graph import dataset as ds
+
+    cfg = small_test_config()
+    cfg.data.use_data_subset = False
+    cfg.train.seed = 44
+    d44 = ds.load(cfg)
+    d_pin = ds.load(cfg.override({"data.synthetic_seed": 44,
+                                  "train.seed": 42}))
+    assert (d44.num_movies, d44.num_users) == (d_pin.num_movies,
+                                               d_pin.num_users)
+    np.testing.assert_array_equal(d44.ratings, d_pin.ratings)
+    d42 = ds.load(cfg.override({"train.seed": 42}))
+    # Default -1 follows train.seed (historical behavior): corpus changes.
+    assert (d42.num_users != d44.num_users
+            or not np.array_equal(d42.ratings, d44.ratings))
