@@ -483,9 +483,23 @@ def bench_at_scale():
     else:
         bytes_per_step = 2 * AT_SCALE_MOVIES * AT_SCALE_MOVIES * 2
     roofline_ms = bytes_per_step / (HBM_GBPS * 1e9) * 1e3
+    # Coherence marker (VERDICT r4 #4): what the DEFAULT-config trainer's
+    # pool_impl=auto would select at this corpus size, so the artifact
+    # itself says whether the benched form is the shipped default.
+    from movie_recommendation_engine_tpu import default_config as _dc
+
+    _m = _dc().model
+    if AT_SCALE_MOVIES <= _m.dense_pool_max_rows:
+        default_form = "dense"
+    elif AT_SCALE_MOVIES <= _m.dense_pool_hybrid_max_rows:
+        default_form = "hybrid"
+    else:
+        default_form = "hubf" if _m.auto_hub_final else "hub"
     return {
         "num_movies": AT_SCALE_MOVIES,
         "pool": pool,
+        "trainer_default_form": default_form,
+        "benched_form_is_default": default_form == pool,
         "examples_per_sec_per_chip": round(exps, 1),
         "variance": var,
         "step_ms": round(step_ms, 2),
