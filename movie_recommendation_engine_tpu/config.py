@@ -96,13 +96,24 @@ class ModelConfig:
     # dropped 9.7%, scripts/block_order_probe.py); "block" tiles the
     # matrices into clustered [bs, cs] blocks (ops/block_sparse.py);
     # "auto" picks dense <= dense_pool_max_rows rows, hybrid <=
-    # dense_pool_hybrid_max_rows, hub above that; when a hub build would
-    # drop too much pooling weight the trainer first doubles the residual
-    # once (the 256k escape — residual costs bandwidth, not slab HBM,
-    # RESULTS.md), then falls back hub -> block -> gather.
+    # dense_pool_hybrid_max_rows, hub above that (with the final layer
+    # hubbed too when the slabs fit — auto_hub_final below); when a hub
+    # build would drop too much pooling weight the trainer first doubles
+    # the residual once (the 256k escape — residual costs bandwidth, not
+    # slab HBM, RESULTS.md), then falls back hub -> block -> gather.
     pool_impl: str = "auto"
     dense_pool_max_rows: int = 32768
-    dense_pool_hybrid_max_rows: int = 65536
+    # Hybrid band of the auto ladder. Round 5 collapsed it (== dense max):
+    # auto now selects the hub rung above 32k rows. Three-seed 59k quality
+    # table (seeds 42/43/44, RESULTS.md): hubf HR@100 0.140/0.147/0.140 —
+    # tied-or-best on EVERY seed; hub 0.141/0.138/0.133; hybrid erratic
+    # (0.103 at seed 42 — a depth collapse — vs 0.141 at seed 43). hubf
+    # also steps 1.2-1.4x faster (24.3k vs ~18-21k ex/s). The shipped
+    # default is now the same form as the recorded at-scale headline
+    # (bench.py at_scale "hubf"). Raise back to 65536 to restore the
+    # exact-hybrid band of rounds 2-4; pool_impl="hybrid" selects it
+    # explicitly.
+    dense_pool_hybrid_max_rows: int = 32768
     # Hub pooling shape knobs (pool_impl="hub"/auto-at-scale).
     # head: dense head columns (by pooling mass). 0 = auto-scale with the
     # corpus — clip(N/8, 4096, cap) where the cap is 32 KB of slab per row
