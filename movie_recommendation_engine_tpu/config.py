@@ -220,8 +220,15 @@ class WalkConfig:
     # Neighborhood ranking strategy: "random_walk" (visit-count importance,
     # the PinSage default) or "ppr" (deterministic approximate Personalized
     # PageRank top-K — the reference ships this as dead code at
-    # utils/random_walk.py:144-228; here it is a working option, practical
-    # for small/medium corpora; see sampling/ppr.py).
+    # utils/random_walk.py:144-228; here it is a working, MEASURED option;
+    # see sampling/ppr.py). RECOMMENDATION (round 5, RESULTS.md): at 59k
+    # scale PPR beat the walk tables at EVERY k at both the 3-epoch and
+    # 10-epoch budgets (+5.7% rel. HR@100, +13% MRR at 10 epochs) with
+    # ZERO per-epoch refresh cost (tables are deterministic, built once).
+    # The default stays random_walk for reference parity and because the
+    # O(batch * E) PPR build is a real one-time cost on huge graphs — but
+    # for <=1M-item corpora, `--set walk.strategy=ppr` is the measured
+    # best-quality setting.
     strategy: str = "random_walk"
     ppr_alpha: float = 0.15
     ppr_iterations: int = 10
