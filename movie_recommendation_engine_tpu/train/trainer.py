@@ -403,6 +403,13 @@ class Trainer:
                     r2 = min(cfg.model.hub_pool_residual * 2,
                              int(jnp.shape(nbrs)[1]))
                     if r2 > cfg.model.hub_pool_residual:
+                        # Free the gate-failing build BEFORE the escalated
+                        # one: `hp, stats = build(...)` evaluates the RHS
+                        # while the old hp is still referenced, so at 256k
+                        # two 8.6 GB slabs coexist and OOM the chip
+                        # (observed round 5 — r4's 193 ms r16 row was built
+                        # directly, never through this path).
+                        del hp
                         hp, stats = hub_mod.build_hub_pool_device(
                             jnp.asarray(nbrs), jnp.asarray(w),
                             valid_limit=self.valid_limit,

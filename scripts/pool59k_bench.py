@@ -146,7 +146,11 @@ def main():
         for spec in args.arms:
             parts = spec.split("|")
             impl = parts[0]
-            pdt = parts[1] if len(parts) > 1 and parts[1] else "bfloat16"
+            # Empty dtype part = the CONFIG default ("auto" since round 5:
+            # f8 where the bf16 head cap binds). Hardcoding bfloat16 here
+            # silently pinned an "auto||" validation arm to the bf16 path
+            # at 256k (observed r5).
+            pdt = parts[1] if len(parts) > 1 and parts[1] else "auto"
             shape = (parse_shape(parts[2])
                      if len(parts) > 2 and parts[2] else None)
             arm_list.append((impl, pdt, shape))
