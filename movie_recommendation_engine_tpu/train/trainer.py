@@ -424,7 +424,11 @@ class Trainer:
                                      residual=r2, **stats)
                 if stats["dropped_mass"] > hub_cap:
                     # Mass not hub-concentrated enough; auto tries the
-                    # clustered block tiling next, then gather.
+                    # clustered block tiling next, then gather. Drop the
+                    # failed slab NOW — `hp` stays in scope past the break,
+                    # and an 8.6 GB slab held through the block build is
+                    # the same OOM class as the escalation double-buffer.
+                    del hp
                     self.log.log("hub_pool_fallback",
                                  dropped_mass=stats["dropped_mass"])
                     mats = []
